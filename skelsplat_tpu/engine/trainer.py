@@ -1,0 +1,267 @@
+"""Per-scene optimization engine — the TPU-native train loop.
+
+The reference's inner loop (train.py:130-233) renders ONE view per iteration
+round-robin and steps Adam every ``accumulation_steps`` (= nviews) iterations
+with xyz grad = mean of the per-view grads and scale/rot/opacity grads taken
+from the last rendered view only (train.py:175-179, 215-218). Because the
+parameters are constant between optimizer steps, one reference "macro step"
+is exactly: render ALL V views at the current parameters, combine gradients,
+step. That is what this trainer jits: a ``lax.scan`` over iterations/accum
+macro steps, each vmapping renderer+loss over the camera axis — the whole
+500-iteration scene optimization is a single compiled program with no host
+round-trips.
+
+Gradient-fusion semantics are reproduced exactly: xyz steps on the mean
+per-view gradient; log_scales/quats/opacity step on view V−1's gradient
+alone (the reference overwrites .grad each iteration, so the last view wins).
+
+Early stopping (``opt_early_stopping``) is evaluated at macro-step
+granularity: stop when every per-view loss changed by < tol vs the previous
+macro step — the same repeating-pattern criterion as
+general_utils.py:467-491 restricted to window-aligned offsets (the reference
+also checks mid-window straddles; with the default ``no_stopping`` this path
+is off everywhere). After a stop fires, parameters freeze (the reference
+breaks out of the loop), so the final parameters equal the stop-time
+parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skelsplat_tpu import losses as loss_registry
+from skelsplat_tpu.core.cameras import Camera
+from skelsplat_tpu.core.gaussians import (EXTREMITY_JOINTS, GaussianParams,
+                                          OPACITY_INIT_LOGIT, SkeletonModel)
+from skelsplat_tpu.engine.optim import AdamGroups, OptConfig
+from skelsplat_tpu.ops import heatmaps as hm
+from skelsplat_tpu.ops import rasterizer
+from skelsplat_tpu.ops.fused import fused_view_loss_available, make_fused_view_loss
+
+REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
+
+
+def cameras_extent(cameras: Camera) -> float:
+    """The per-scene spatial LR scale: 1.1 × max distance of the camera
+    centers from their centroid (getNerfppNorm, dataset_readers.py:482-503 →
+    scene/__init__.py:85 → create_from_pcd spatial_lr_scale)."""
+    centers = np.asarray(cameras.cam_center, dtype=np.float64)
+    center = centers.mean(axis=0, keepdims=True)
+    diagonal = np.linalg.norm(centers - center, axis=1).max()
+    return float(diagonal * 1.1)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSettings:
+    """Mirror of the ``training`` config group (configs/*.yaml:18-27)."""
+
+    loss_function: str = "l2_gaussian"
+    lambda_loss_function: float = 0.05
+    consistency_loss: str = "3D_length_consistency"
+    lambda_consistency: float = 1e-5
+    early_stopping: str = "no_stopping"   # opt_early_stopping | no_stopping
+    accumulation_steps: int = 4
+    dropout: bool = False
+    std_dev_noise: float = 0.0
+    quiet: bool = True
+
+
+def init_params_jnp(initial_pose, scene_type: str, scaling: float,
+                    scaling_modifier: float) -> GaussianParams:
+    """jit-traceable twin of gaussians.init_params (gaussian_model.py:149-200)."""
+    pts = jnp.reshape(initial_pose, (-1, 3)).astype(jnp.float32)
+    n = pts.shape[0]
+    if scaling > 0.0:
+        boost = np.ones((n, 3), dtype=np.float32)
+        idx = [i for i in EXTREMITY_JOINTS.get(scene_type, []) if i < n]
+        boost[idx, :] = scaling_modifier
+        scales = jnp.asarray(scaling * boost)
+    else:
+        scales = pts
+    quats = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
+    opacity = jnp.full((n, 1), OPACITY_INIT_LOGIT, jnp.float32)
+    return GaussianParams(pts, scales, quats, opacity)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MacroHistory:
+    """Per-macro-step telemetry (the reference's TB scalars,
+    train.py:184-213 & 260-276)."""
+
+    losses: Any        # (K, V) per-view total losses
+    error: Any         # (K, N) per-joint absolute error ‖pred−gt‖
+    error_rel: Any     # (K, N) root-aligned error
+    stopped_at: Any    # scalar int32, iteration of early stop (0 = none)
+
+
+class SceneTrainer:
+    """Compiles and runs the full per-scene optimization.
+
+    One instance per static configuration (dataset/model/opt settings +
+    image size); ``optimize_scene`` is jit-cached across the scene loop.
+    """
+
+    def __init__(self, model: SkeletonModel, opt: OptConfig,
+                 settings: TrainSettings, width: int, height: int,
+                 antialiasing: bool = False, renderer: str = "auto"):
+        self.model = model
+        self.opt = opt
+        self.settings = settings
+        self.W, self.H = int(width), int(height)
+        self.antialiasing = antialiasing
+        if settings.accumulation_steps <= 0:
+            raise ValueError("accumulation_steps must be positive")
+        self.n_macro = opt.iterations // settings.accumulation_steps
+        self.adam = AdamGroups(opt)
+        if renderer == "auto":
+            renderer = ("fused" if fused_view_loss_available(
+                settings.loss_function, settings.consistency_loss)
+                else "dense")
+        self.renderer = renderer
+        self._run = jax.jit(self._build_run())
+
+    # ------------------------------------------------------------------
+    def _view_loss_dense(self, params, cam, gt_heatmaps_v, pose_2d_v):
+        """Loss of one view: render → clamp → registry loss + consistency
+        (train.py:140-152)."""
+        out = rasterizer.render(
+            params, cam, self.W, self.H,
+            antialiasing=self.antialiasing)
+        loss_fn = loss_registry.losses[self.settings.loss_function]
+        main, _ = loss_fn(out["render"], gt_heatmaps_v, pose_2d_v[:, :2],
+                          self.settings.lambda_loss_function,
+                          reduction="mean")
+        cons_fn = loss_registry.consistency_losses[
+            self.settings.consistency_loss]
+        cons = cons_fn(params.xyz, self.model.scene_type, reduction="mean")
+        return main + cons * self.settings.lambda_consistency
+
+    # ------------------------------------------------------------------
+    def _build_run(self):
+        V_accum = self.settings.accumulation_steps
+        model = self.model
+        use_stop = self.settings.early_stopping == "opt_early_stopping"
+
+        def run(initial_pose, poses_2d, cameras: Camera, pose_3d_gt,
+                drop_mask, spatial_lr_scale):
+            params = init_params_jnp(initial_pose, model.scene_type,
+                                     model.scaling, model.scaling_modifier)
+            # GT heatmaps from the INITIAL covariance, once per scene
+            # (train.py:91-92).
+            cov6_init = params.covariance()
+            spec = hm.heatmap_spec(params.xyz, cov6_init, poses_2d,
+                                   cameras, self.W, self.H,
+                                   drop_mask=drop_mask)
+            if self.renderer == "dense":
+                gt_heatmaps = hm.eval_heatmaps(spec, self.W, self.H)
+                view_loss = lambda p, cam, g, p2: self._view_loss_dense(
+                    p, cam, g, p2)
+                view_aux = gt_heatmaps
+            else:
+                fused = make_fused_view_loss(
+                    self.model, self.settings, self.W, self.H,
+                    self.antialiasing)
+                view_loss = lambda p, cam, s, p2: fused(p, cam, s, p2)
+                view_aux = spec
+
+            opt_state = self.adam.init(params)
+            nviews = poses_2d.shape[0]
+
+            def per_view_grads(p):
+                if self.renderer == "dense":
+                    aux_axes = 0
+                else:
+                    # HeatmapSpec leaves are (V,N); vmap over axis 0
+                    aux_axes = 0
+                f = jax.value_and_grad(view_loss)
+                return jax.vmap(f, in_axes=(None, 0, aux_axes, 0))(
+                    p, cameras, view_aux, poses_2d)
+
+            def macro_step(carry, k):
+                params, opt_state, prev_losses, stopped = carry
+                losses_v, grads_v = per_view_grads(params)
+
+                # view fusion (train.py:175-179, 215-218): mean for xyz,
+                # last view only for the other groups.
+                grads = GaussianParams(
+                    xyz=jnp.mean(grads_v.xyz, axis=0),
+                    log_scales=grads_v.log_scales[nviews - 1],
+                    quats=grads_v.quats[nviews - 1],
+                    opacity_logit=grads_v.opacity_logit[nviews - 1],
+                )
+                iteration = (k + 1) * V_accum
+                new_params, new_opt = self.adam.step(
+                    params, grads, opt_state, iteration, spatial_lr_scale)
+
+                apply = jnp.logical_not(stopped)
+                sel = lambda a, b: jnp.where(apply, a, b)
+                params2 = jax.tree.map(sel, new_params, params)
+                opt2 = jax.tree.map(sel, new_opt, opt_state)
+
+                if use_stop:
+                    stop_now = jnp.all(
+                        jnp.abs(losses_v - prev_losses) < REPEAT_TOL
+                    ) & (k > 0)
+                else:
+                    stop_now = jnp.asarray(False)
+                stopped2 = stopped | (stop_now & apply)
+
+                # telemetry (train.py:184-205)
+                pred = params2.xyz
+                err = jnp.linalg.norm(pred - pose_3d_gt, axis=1)
+                err_rel = jnp.linalg.norm(
+                    (pred - pred[0]) - (pose_3d_gt - pose_3d_gt[0]), axis=1)
+                rec = (losses_v, err, err_rel,
+                       jnp.where(stop_now & apply, iteration, 0))
+                return (params2, opt2, losses_v, stopped2), rec
+
+            init_carry = (params, opt_state,
+                          jnp.full((nviews,), jnp.inf, jnp.float32),
+                          jnp.asarray(False))
+            (params, opt_state, _, stopped), recs = jax.lax.scan(
+                macro_step, init_carry, jnp.arange(self.n_macro))
+            losses_k, err_k, err_rel_k, stop_marks = recs
+            history = MacroHistory(
+                losses=losses_k, error=err_k, error_rel=err_rel_k,
+                stopped_at=jnp.max(stop_marks))
+            return params, history
+
+        return run
+
+    # ------------------------------------------------------------------
+    def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
+                       pose_3d_gt=None, drop_key=None):
+        """Run the full optimization for one scene.
+
+        initial_pose (N,3); poses_2d (V,N,2+); cameras batched over V;
+        pose_3d_gt (N,3) for telemetry (zeros if absent). Noise injection
+        (training.std_dev_noise, train.py:80-84) happens here, host-side,
+        with the reference's per-scene seed-0 numpy RNG.
+        """
+        initial_pose = np.asarray(initial_pose, dtype=np.float32)
+        if self.settings.std_dev_noise > 0.0:
+            rng = np.random.default_rng(seed=0)  # reproducible (train.py:82)
+            initial_pose = initial_pose + rng.normal(
+                0.0, self.settings.std_dev_noise, initial_pose.shape)
+            initial_pose = initial_pose.astype(np.float32)
+        if pose_3d_gt is None:
+            pose_3d_gt = np.zeros_like(initial_pose)
+        poses_2d = jnp.asarray(np.asarray(poses_2d)[..., :2],
+                               dtype=jnp.float32)
+        nviews, n = poses_2d.shape[0], poses_2d.shape[1]
+        if self.settings.dropout and drop_key is not None:
+            drop_mask = hm.dropout_masks(drop_key, nviews, n)
+        else:
+            drop_mask = jnp.zeros((nviews, n), dtype=bool)
+        cameras = jax.tree.map(jnp.asarray, cameras)
+        extent = cameras_extent(cameras)
+        return self._run(jnp.asarray(initial_pose), poses_2d, cameras,
+                         jnp.asarray(pose_3d_gt, dtype=jnp.float32),
+                         drop_mask, jnp.asarray(extent, jnp.float32))
