@@ -1,0 +1,256 @@
+"""Training driver — the scene loop orchestration (port of train.py:56-304).
+
+Wires DataLoader records into SceneTrainer runs, writes the reference's
+on-disk artifacts (per-scene result PLYs under
+``point_cloud/iteration_{it}/{scene}.ply``, ``input.ply``, ``cameras.json``,
+debug render/heatmap PNGs), logs per-scene errors (with the S9 bad-calib
+zeroing, train.py:193-194) and TensorBoard scalars, and reports the per-frame
+optimization wall-clock — the BASELINE north-star metric.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from skelsplat_tpu.core.gaussians import SkeletonModel, scene_type_of
+from skelsplat_tpu.data import cameras_io, ply
+from skelsplat_tpu.data.loader import DataLoader, SceneRecord
+from skelsplat_tpu.engine.optim import OptConfig
+from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
+from skelsplat_tpu import losses as loss_registry
+
+log = logging.getLogger(__name__)
+
+# pipeline.rendering config keys → channel counts (replaces the three
+# compiled packages selected in gaussian_renderer/__init__.py:367-371)
+RENDERING_CHANNELS = {
+    "diff-gaussian-rasterization-h36m": 17,
+    "diff-gaussian-rasterization-panoptic": 19,
+    "diff-gaussian-rasterization-op": 15,
+}
+
+S9_BAD = ["SittingDown 1", "Waiting 1", "Greeting"]
+
+
+def opt_config_from(opt_group) -> OptConfig:
+    return OptConfig(
+        iterations=int(opt_group.iterations),
+        position_lr_init=float(opt_group.position_lr_init),
+        position_lr_final=float(opt_group.position_lr_final),
+        position_lr_delay_mult=float(opt_group.position_lr_delay_mult),
+        position_lr_max_steps=int(opt_group.position_lr_max_steps),
+        feature_lr=float(opt_group.feature_lr),
+        opacity_lr=float(opt_group.opacity_lr),
+        scaling_lr=float(opt_group.scaling_lr),
+        rotation_lr=float(opt_group.rotation_lr),
+    )
+
+
+def train_settings_from(training_group) -> TrainSettings:
+    return TrainSettings(
+        loss_function=training_group.loss_function,
+        lambda_loss_function=float(training_group.lambda_loss_function),
+        consistency_loss=training_group.consistency_loss,
+        lambda_consistency=float(training_group.lambda_consistency),
+        early_stopping=training_group.early_stopping,
+        accumulation_steps=int(training_group.accumulation_steps),
+        dropout=bool(training_group.dropout),
+        std_dev_noise=float(training_group.std_dev_noise),
+        quiet=bool(training_group.quiet),
+    )
+
+
+def _parse_scene_name(scene_name: str, data_root: str):
+    """train.py:186-191."""
+    if "panoptic" in data_root:
+        parts = scene_name.split("_")
+        return parts[0], parts[1] + "_" + parts[2], parts[-1]
+    subject, activity, step = scene_name.split("_")
+    return subject, activity, step
+
+
+def _save_scene_artifacts(output_dir: str, record: SceneRecord):
+    """input.ply + sparse/points3D.ply + cameras.json (scene/__init__.py:67-79
+    + readXSceneInfo storePly). Overwritten per scene like the reference."""
+    xyz = record.pose_3d.reshape(-1, 3)
+    rgb = np.ones_like(xyz) * 255
+    ply.write_point_ply(os.path.join(output_dir, "sparse", "points3D.ply"),
+                        xyz, rgb)
+    ply.write_point_ply(os.path.join(output_dir, "input.ply"), xyz, rgb)
+    cams = [cameras_io.camera_to_json(i, c)
+            for i, c in enumerate(record.cameras)]
+    with open(os.path.join(output_dir, "cameras.json"), "w") as f:
+        json.dump(cams, f)
+
+
+def _save_images(trainer: SceneTrainer, params, cameras, output_dir: str,
+                 name: str = "render"):
+    """Debug PNG dump of per-camera channel-summed renders
+    (train.py:279-292)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from skelsplat_tpu.ops import rasterizer
+
+    os.makedirs(f"{output_dir}/images", exist_ok=True)
+    camsj = jax.tree.map(jnp.asarray, cameras)
+    nv = int(np.asarray(cameras.uid).shape[0])
+    for v in range(nv):
+        cam = jax.tree.map(lambda x: x[v], camsj)
+        out = rasterizer.render(params, cam, trainer.W, trainer.H)
+        im = np.asarray(out["render"]).sum(axis=0)
+        rng_ = im.max() - im.min()
+        im = (im - im.min()) / (rng_ if rng_ > 0 else 1.0)
+        Image.fromarray((im * 255).astype(np.uint8)).save(
+            f"{output_dir}/images/{name}_{v}.png")
+
+
+def _save_heatmaps(gt_heatmaps, output_dir: str, name: str = "heatmap"):
+    """train.py:294-304."""
+    from PIL import Image
+
+    os.makedirs(f"{output_dir}/heatmaps", exist_ok=True)
+    hm = np.asarray(gt_heatmaps)
+    for v in range(hm.shape[0]):
+        im = hm[v].sum(axis=0)
+        rng_ = im.max() - im.min()
+        im = (im - im.min()) / (rng_ if rng_ > 0 else 1.0)
+        Image.fromarray((im * 255).astype(np.uint8)).save(
+            f"{output_dir}/heatmaps/{name}_{v}.png")
+
+
+def training(dataset, model_group, opt_group, pipe, debug, training_group,
+             dataset_loader: DataLoader, output_dir: str, log=log):
+    """Port of train.py:56-244. Returns per-scene summary dicts."""
+    if training_group.loss_function not in loss_registry.losses:
+        raise SystemExit(f"unknown loss {training_group.loss_function!r}")
+    if training_group.consistency_loss not in loss_registry.consistency_losses:
+        raise SystemExit(
+            f"unknown consistency loss {training_group.consistency_loss!r}")
+    if pipe.rendering not in RENDERING_CHANNELS:
+        raise SystemExit(f"unknown rendering {pipe.rendering!r}")
+
+    tb_writer = _prepare_tb(output_dir)
+    scene_type = scene_type_of(dataset.data_root)
+    model = SkeletonModel(
+        scene_type, dataset_loader.n_joints,
+        scaling=float(model_group.scaling),
+        scaling_modifier=float(model_group.scaling_modifier),
+        opacity_on=bool(model_group.opacity_on))
+    if RENDERING_CHANNELS[pipe.rendering] != dataset_loader.n_joints:
+        log.warning("pipeline.rendering %s has %d channels but dataset has "
+                    "%d joints", pipe.rendering,
+                    RENDERING_CHANNELS[pipe.rendering],
+                    dataset_loader.n_joints)
+
+    settings = train_settings_from(training_group)
+    opt_cfg = opt_config_from(opt_group)
+    save_iterations = list(debug.save_iterations)
+    if opt_cfg.iterations not in save_iterations:
+        save_iterations.append(opt_cfg.iterations)   # train.py:330
+
+    trainers: dict[tuple, SceneTrainer] = {}
+    results = []
+    drop_key = jax.random.PRNGKey(0)
+
+    log.info(f"Training on {len(dataset_loader)} scenes")
+    total_opt_seconds = 0.0
+
+    for scene_id, record in dataset_loader:
+        cameras = cameras_io.build_camera_batch(record.cameras)
+        W = int(np.asarray(cameras.width).max())
+        H = int(np.asarray(cameras.height).max())
+        nv = len(record.cameras)
+        key = (W, H, nv)
+        if key not in trainers:
+            trainers[key] = SceneTrainer(
+                model, opt_cfg, settings, W, H,
+                antialiasing=bool(pipe.antialiasing))
+        trainer = trainers[key]
+
+        _save_scene_artifacts(output_dir, record)
+
+        def save_ply_at(iteration, params, _name=record.scene_name):
+            path = os.path.join(output_dir, "point_cloud",
+                                f"iteration_{iteration}", f"{_name}.ply")
+            print(f"Saving iteration {iteration} for scene {_name}")
+            ply.write_gaussian_ply(
+                path, np.asarray(params.xyz),
+                np.asarray(params.log_scales), np.asarray(params.quats),
+                np.asarray(params.opacity_logit))
+
+        if settings.dropout:
+            drop_key, sub = jax.random.split(drop_key)
+        else:
+            sub = None
+
+        t0 = time.perf_counter()
+        params, history = trainer.optimize_scene(
+            record.pose_3d, record.poses_2d, cameras, record.pose_3d_gt,
+            drop_key=sub, checkpoint_iterations=save_iterations,
+            checkpoint_fn=save_ply_at)
+        jax.block_until_ready(params.xyz)
+        dt = time.perf_counter() - t0
+        total_opt_seconds += dt
+
+        # per-scene error report (train.py:184-213, 239-242) with the S9
+        # bad-calibration zeroing applied to the LOGGED absolute error
+        subject, activity, step = _parse_scene_name(record.scene_name,
+                                                    dataset.data_root)
+        err = np.asarray(history.error)[-1]
+        err_rel = np.asarray(history.error_rel)[-1]
+        if subject == "S9" and activity in S9_BAD:
+            err = np.zeros_like(err)
+        log.info(f"Scene {record.scene_name}: "
+                 f"abs {err.mean():.2f} rel {err_rel.mean():.2f} "
+                 f"({dt:.2f}s)")
+        if tb_writer is not None:
+            tb_string = f"Subject_{subject}_Activity_{activity}/Step_{step}"
+            K = np.asarray(history.losses).shape[0]
+            accum = settings.accumulation_steps
+            for k in range(K):
+                it = (k + 1) * accum
+                tb_writer.add_scalar("train_loss_patches/total_loss",
+                                     float(np.asarray(history.losses)[k].mean()), it)
+                tb_writer.add_scalar(tb_string + "/absolute_error",
+                                     float(np.asarray(history.error)[k].mean()), it)
+                tb_writer.add_scalar(tb_string + "/relative_error",
+                                     float(np.asarray(history.error_rel)[k].mean()), it)
+
+        if debug.save_images:
+            _save_images(trainer, params, cameras, output_dir, "render")
+
+        results.append({
+            "scene_id": scene_id,
+            "scene_name": record.scene_name,
+            "abs_error": float(err.mean()),
+            "rel_error": float(err_rel.mean()),
+            "seconds": dt,
+            "stopped_at": int(np.asarray(history.stopped_at)),
+        })
+
+    n = max(len(results), 1)
+    log.info(f"Training completed. {len(results)} scenes, "
+             f"{total_opt_seconds / n:.3f} s/scene mean")
+    with open(os.path.join(output_dir, "train_summary.json"), "w") as f:
+        json.dump({"scenes": results,
+                   "mean_seconds_per_scene": total_opt_seconds / n}, f,
+                  indent=2)
+    print("Training completed.")
+    return results
+
+
+def _prepare_tb(output_dir):
+    """train.py:247-257."""
+    os.makedirs(output_dir, exist_ok=True)
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(output_dir + "/tb")
+    except Exception:
+        print("Tensorboard not available: not logging progress")
+        return None

@@ -125,7 +125,7 @@ class SceneTrainer:
                 settings.loss_function, settings.consistency_loss)
                 else "dense")
         self.renderer = renderer
-        self._run = jax.jit(self._build_run())
+        self._prepare, self._segment = self._build_run()
 
     # ------------------------------------------------------------------
     def _view_loss_dense(self, params, cam, gt_heatmaps_v, pose_2d_v):
@@ -134,8 +134,14 @@ class SceneTrainer:
         out = rasterizer.render(
             params, cam, self.W, self.H,
             antialiasing=self.antialiasing)
+        # restrict to the view's true image domain (static W/H is the max
+        # over views; H36M mixes 1000/1002-wide cameras in one rig)
+        ys = jnp.arange(self.H, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(self.W, dtype=jnp.float32)[None, None, :]
+        inside = (ys < cam.height) & (xs < cam.width)
+        render = jnp.where(inside, out["render"], 0.0)
         loss_fn = loss_registry.losses[self.settings.loss_function]
-        main, _ = loss_fn(out["render"], gt_heatmaps_v, pose_2d_v[:, :2],
+        main, _ = loss_fn(render, gt_heatmaps_v, pose_2d_v[:, :2],
                           self.settings.lambda_loss_function,
                           reduction="mean")
         cons_fn = loss_registry.consistency_losses[
@@ -149,39 +155,42 @@ class SceneTrainer:
         model = self.model
         use_stop = self.settings.early_stopping == "opt_early_stopping"
 
-        def run(initial_pose, poses_2d, cameras: Camera, pose_3d_gt,
-                drop_mask, spatial_lr_scale):
+        def prepare(initial_pose, poses_2d, cameras: Camera, drop_mask):
+            """Per-scene setup: params init + GT-heatmap state from the
+            INITIAL covariance, once per scene (train.py:87-92)."""
             params = init_params_jnp(initial_pose, model.scene_type,
                                      model.scaling, model.scaling_modifier)
-            # GT heatmaps from the INITIAL covariance, once per scene
-            # (train.py:91-92).
             cov6_init = params.covariance()
             spec = hm.heatmap_spec(params.xyz, cov6_init, poses_2d,
                                    cameras, self.W, self.H,
                                    drop_mask=drop_mask)
             if self.renderer == "dense":
-                gt_heatmaps = hm.eval_heatmaps(spec, self.W, self.H)
+                view_aux = hm.eval_heatmaps(spec, self.W, self.H)
+            else:
+                view_aux = spec
+            opt_state = self.adam.init(params)
+            nviews = poses_2d.shape[0]
+            carry = (params, opt_state,
+                     jnp.full((nviews,), jnp.inf, jnp.float32),
+                     jnp.asarray(False))
+            return carry, view_aux
+
+        def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
+                    spatial_lr_scale, k0, n_macro):
+            """Run macro steps k0 .. k0+n_macro−1 (n_macro static)."""
+            nviews = poses_2d.shape[0]
+            if self.renderer == "dense":
                 view_loss = lambda p, cam, g, p2: self._view_loss_dense(
                     p, cam, g, p2)
-                view_aux = gt_heatmaps
             else:
                 fused = make_fused_view_loss(
                     self.model, self.settings, self.W, self.H,
                     self.antialiasing)
                 view_loss = lambda p, cam, s, p2: fused(p, cam, s, p2)
-                view_aux = spec
-
-            opt_state = self.adam.init(params)
-            nviews = poses_2d.shape[0]
 
             def per_view_grads(p):
-                if self.renderer == "dense":
-                    aux_axes = 0
-                else:
-                    # HeatmapSpec leaves are (V,N); vmap over axis 0
-                    aux_axes = 0
                 f = jax.value_and_grad(view_loss)
-                return jax.vmap(f, in_axes=(None, 0, aux_axes, 0))(
+                return jax.vmap(f, in_axes=(None, 0, 0, 0))(
                     p, cameras, view_aux, poses_2d)
 
             def macro_step(carry, k):
@@ -222,28 +231,30 @@ class SceneTrainer:
                        jnp.where(stop_now & apply, iteration, 0))
                 return (params2, opt2, losses_v, stopped2), rec
 
-            init_carry = (params, opt_state,
-                          jnp.full((nviews,), jnp.inf, jnp.float32),
-                          jnp.asarray(False))
-            (params, opt_state, _, stopped), recs = jax.lax.scan(
-                macro_step, init_carry, jnp.arange(self.n_macro))
-            losses_k, err_k, err_rel_k, stop_marks = recs
-            history = MacroHistory(
-                losses=losses_k, error=err_k, error_rel=err_rel_k,
-                stopped_at=jnp.max(stop_marks))
-            return params, history
+            carry, recs = jax.lax.scan(
+                macro_step, carry, k0 + jnp.arange(n_macro))
+            return carry, recs
 
-        return run
+        return (jax.jit(prepare),
+                jax.jit(segment, static_argnums=(7,)))
 
     # ------------------------------------------------------------------
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
-                       pose_3d_gt=None, drop_key=None):
+                       pose_3d_gt=None, drop_key=None,
+                       checkpoint_iterations=(), checkpoint_fn=None):
         """Run the full optimization for one scene.
 
         initial_pose (N,3); poses_2d (V,N,2+); cameras batched over V;
         pose_3d_gt (N,3) for telemetry (zeros if absent). Noise injection
         (training.std_dev_noise, train.py:80-84) happens here, host-side,
         with the reference's per-scene seed-0 numpy RNG.
+
+        ``checkpoint_iterations``: inner-iteration numbers (rounded down to
+        macro boundaries) at which ``checkpoint_fn(iteration, params)`` is
+        invoked with concrete parameters — the debug.save_iterations hook
+        (train.py:227-229). The scan is split into jit-cached segments at
+        those boundaries, so the default [iterations] case stays one fused
+        program.
         """
         initial_pose = np.asarray(initial_pose, dtype=np.float32)
         if self.settings.std_dev_noise > 0.0:
@@ -261,7 +272,38 @@ class SceneTrainer:
         else:
             drop_mask = jnp.zeros((nviews, n), dtype=bool)
         cameras = jax.tree.map(jnp.asarray, cameras)
-        extent = cameras_extent(cameras)
-        return self._run(jnp.asarray(initial_pose), poses_2d, cameras,
-                         jnp.asarray(pose_3d_gt, dtype=jnp.float32),
-                         drop_mask, jnp.asarray(extent, jnp.float32))
+        extent = jnp.asarray(cameras_extent(cameras), jnp.float32)
+        pose_3d_gt = jnp.asarray(pose_3d_gt, dtype=jnp.float32)
+
+        carry, view_aux = self._prepare(jnp.asarray(initial_pose), poses_2d,
+                                        cameras, drop_mask)
+
+        accum = self.settings.accumulation_steps
+        rounded = sorted({min(max(it // accum, 0), self.n_macro)
+                          for it in checkpoint_iterations})
+        rounded = [b for b in rounded if b > 0]
+        bounds = list(rounded)
+        if not bounds or bounds[-1] != self.n_macro:
+            bounds.append(self.n_macro)
+
+        all_recs = []
+        k0 = 0
+        for b in bounds:
+            n_seg = b - k0
+            if n_seg > 0:
+                carry, recs = self._segment(
+                    carry, view_aux, poses_2d, cameras, pose_3d_gt,
+                    extent, jnp.asarray(k0, jnp.int32), n_seg)
+                all_recs.append(recs)
+                k0 = b
+            if checkpoint_fn is not None and b in rounded:
+                checkpoint_fn(b * accum, carry[0])
+
+        params = carry[0]
+        losses_k, err_k, err_rel_k, stop_marks = (
+            jnp.concatenate([r[i] for r in all_recs], axis=0)
+            for i in range(4))
+        history = MacroHistory(
+            losses=losses_k, error=err_k, error_rel=err_rel_k,
+            stopped_at=jnp.max(stop_marks))
+        return params, history

@@ -52,7 +52,9 @@ def _chunk_sums(pp: rasterizer.Preprocessed, spec_v, y0: jnp.ndarray,
     n = pp.pix.shape[0]
     ys = y0 + jnp.arange(rows, dtype=jnp.int32)          # (rows,)
     xs = jnp.arange(W, dtype=jnp.int32)                  # (W,)
-    in_img = (ys < H)[None, :, None]                     # (1,rows,1)
+    # per-view true image domain (H36M mixes 1000/1002-wide cameras)
+    in_img = ((ys < spec_v.height[0])[None, :, None]
+              & (xs < spec_v.width[0])[None, None, :])
 
     dx = pp.pix[:, 0][:, None, None] - xs.astype(jnp.float32)[None, None, :]
     dy = pp.pix[:, 1][:, None, None] - ys.astype(jnp.float32)[None, :, None]
@@ -73,9 +75,11 @@ def _chunk_sums(pp: rasterizer.Preprocessed, spec_v, y0: jnp.ndarray,
 
     # closed-form GT for all channels of this view over the chunk
     p1 = hm._profile(ys[None, :], spec_v.y0[:, None], spec_v.sigma1[:, None],
-                     spec_v.r1[:, None], spec_v.sum1[:, None], float(H))
+                     spec_v.r1[:, None], spec_v.sum1[:, None],
+                     spec_v.height[:, None])
     p2 = hm._profile(xs[None, :], spec_v.x0[:, None], spec_v.sigma2[:, None],
-                     spec_v.r2[:, None], spec_v.sum2[:, None], float(W))
+                     spec_v.r2[:, None], spec_v.sum2[:, None],
+                     spec_v.width[:, None])
     raw = spec_v.amp[:, None, None] * p1[:, :, None] * p2[:, None, :]
     mn = spec_v.mn[:, None, None]
     mx = spec_v.mx[:, None, None]

@@ -57,7 +57,8 @@ class HeatmapSpec(NamedTuple):
     general_utils.py:275-278); sigma1 blurs rows (y), sigma2 columns (x);
     r*/sum* the kernel truncation radii and normalizers; mn/mx the
     per-channel extremes used by normalize_heatmaps; amp the channel
-    amplitude (0 for dropped-out channels).
+    amplitude (0 for dropped-out channels); width/height the per-view true
+    image sizes (≤ the static evaluation grid).
     """
 
     y0: jnp.ndarray
@@ -71,6 +72,8 @@ class HeatmapSpec(NamedTuple):
     mn: jnp.ndarray
     mx: jnp.ndarray
     amp: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
 
 
 def _kernel_sum(sigma, r):
@@ -108,11 +111,20 @@ def heatmap_spec(xyz, cov6, poses_2d, cameras: Camera, W: int, H: int,
 
     poses_2d: (V,N,2) detections in pixels. drop_mask: optional (V,N) bool,
     True ⇒ channel zeroed (training.dropout, general_utils.py:267-282).
+
+    W/H are the STATIC evaluation grid (max over views); the per-view true
+    image sizes come from ``cameras.width/height`` (H36M mixes 1000- and
+    1002-wide cameras in one rig, dataset_readers.py:68-80) and govern
+    detection clamping, reflect mirrors and the normalization extremes.
     """
     sigma1, sigma2 = heatmap_sigmas_for_views(xyz, cov6, cameras)  # (V,N)
+    w_v = jnp.reshape(cameras.width, (-1, 1)).astype(jnp.float32)   # (V,1)
+    h_v = jnp.reshape(cameras.height, (-1, 1)).astype(jnp.float32)
     # trunc-toward-zero then clamp (torch .long(), general_utils.py:275-278)
-    x0 = jnp.clip(jnp.trunc(poses_2d[..., 0]).astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(jnp.trunc(poses_2d[..., 1]).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.trunc(poses_2d[..., 0]), 0,
+                  w_v - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.trunc(poses_2d[..., 1]), 0,
+                  h_v - 1).astype(jnp.int32)
     r1 = jnp.floor(TRUNCATE * sigma1 + 0.5).astype(jnp.int32)
     r2 = jnp.floor(TRUNCATE * sigma2 + 0.5).astype(jnp.int32)
     sum1 = _kernel_sum(sigma1, r1)
@@ -120,30 +132,41 @@ def heatmap_spec(xyz, cov6, poses_2d, cameras: Camera, W: int, H: int,
 
     # Channel extremes for min-max normalization: the 2D image is the outer
     # product of two non-negative 1D profiles, so its min/max factorize.
+    # Restricted to each view's true image domain.
     ys = jnp.arange(H, dtype=jnp.int32)
     xs = jnp.arange(W, dtype=jnp.int32)
     p1 = _profile(ys[None, None, :], y0[..., None], sigma1[..., None],
-                  r1[..., None], sum1[..., None], float(H))   # (V,N,H)
+                  r1[..., None], sum1[..., None], h_v[..., None])  # (V,N,H)
     p2 = _profile(xs[None, None, :], x0[..., None], sigma2[..., None],
-                  r2[..., None], sum2[..., None], float(W))   # (V,N,W)
+                  r2[..., None], sum2[..., None], w_v[..., None])  # (V,N,W)
+    in_h = (ys[None, None, :] < jnp.reshape(cameras.height, (-1, 1, 1)))
+    in_w = (xs[None, None, :] < jnp.reshape(cameras.width, (-1, 1, 1)))
     amp = jnp.full(sigma1.shape, AMPLITUDE, dtype=jnp.float32)
     if drop_mask is not None:
         amp = jnp.where(drop_mask, 0.0, amp)
-    mn = amp * jnp.min(p1, axis=-1) * jnp.min(p2, axis=-1)
-    mx = amp * jnp.max(p1, axis=-1) * jnp.max(p2, axis=-1)
-    return HeatmapSpec(y0, x0, sigma1, sigma2, r1, r2, sum1, sum2, mn, mx, amp)
+    mn = (amp * jnp.min(jnp.where(in_h, p1, jnp.inf), axis=-1)
+          * jnp.min(jnp.where(in_w, p2, jnp.inf), axis=-1))
+    mx = (amp * jnp.max(jnp.where(in_h, p1, -jnp.inf), axis=-1)
+          * jnp.max(jnp.where(in_w, p2, -jnp.inf), axis=-1))
+    wv = jnp.broadcast_to(w_v, y0.shape).astype(jnp.float32)
+    hv = jnp.broadcast_to(h_v, y0.shape).astype(jnp.float32)
+    return HeatmapSpec(y0, x0, sigma1, sigma2, r1, r2, sum1, sum2, mn, mx,
+                       amp, wv, hv)
 
 
 def eval_heatmap_channel(spec: HeatmapSpec, v, j, ys, xs, W: int, H: int):
     """Evaluate channel (v,j) of the normalized GT heatmap at integer pixel
     rows ``ys`` and cols ``xs`` (broadcastable). Matches
-    normalize_heatmaps((255-impulse ⊛ gaussian)) of the reference."""
+    normalize_heatmaps((255-impulse ⊛ gaussian)) of the reference. Zero
+    outside the view's true image domain."""
     p1 = _profile(ys, spec.y0[v, j], spec.sigma1[v, j], spec.r1[v, j],
-                  spec.sum1[v, j], float(H))
+                  spec.sum1[v, j], spec.height[v, j])
     p2 = _profile(xs, spec.x0[v, j], spec.sigma2[v, j], spec.r2[v, j],
-                  spec.sum2[v, j], float(W))
+                  spec.sum2[v, j], spec.width[v, j])
     raw = spec.amp[v, j] * p1 * p2
-    return (raw - spec.mn[v, j]) / (spec.mx[v, j] - spec.mn[v, j] + NORM_EPS)
+    val = (raw - spec.mn[v, j]) / (spec.mx[v, j] - spec.mn[v, j] + NORM_EPS)
+    inside = (ys < spec.height[v, j]) & (xs < spec.width[v, j])
+    return jnp.where(inside, val, 0.0)
 
 
 def eval_heatmaps(spec: HeatmapSpec, W: int, H: int) -> jnp.ndarray:
@@ -154,14 +177,17 @@ def eval_heatmaps(spec: HeatmapSpec, W: int, H: int) -> jnp.ndarray:
     xs = jnp.arange(W, dtype=jnp.int32)
     p1 = _profile(ys[None, None, :], spec.y0[..., None],
                   spec.sigma1[..., None], spec.r1[..., None],
-                  spec.sum1[..., None], float(H))              # (V,N,H)
+                  spec.sum1[..., None], spec.height[..., None])  # (V,N,H)
     p2 = _profile(xs[None, None, :], spec.x0[..., None],
                   spec.sigma2[..., None], spec.r2[..., None],
-                  spec.sum2[..., None], float(W))              # (V,N,W)
+                  spec.sum2[..., None], spec.width[..., None])   # (V,N,W)
     raw = spec.amp[..., None, None] * p1[..., :, None] * p2[..., None, :]
     mn = spec.mn[..., None, None]
     mx = spec.mx[..., None, None]
-    return (raw - mn) / (mx - mn + NORM_EPS)
+    val = (raw - mn) / (mx - mn + NORM_EPS)
+    inside = ((ys[None, None, :, None] < spec.height[..., None, None])
+              & (xs[None, None, None, :] < spec.width[..., None, None]))
+    return jnp.where(inside, val, 0.0)
 
 
 def dropout_masks(key, n_views: int, n_joints: int):
@@ -196,18 +222,22 @@ def generate_heatmaps_scipy(xyz, cov6, poses_2d, cameras: Camera,
                                                jnp.asarray(cov6), cameras)
     s1, s2 = np.asarray(s1), np.asarray(s2)
     poses_2d = np.asarray(poses_2d)
+    widths = np.asarray(cameras.width).astype(int).reshape(-1)
+    heights = np.asarray(cameras.height).astype(int).reshape(-1)
     V, N = s1.shape
     out = np.zeros((V, N, H, W), dtype=np.float32)
     for v in range(V):
-        x0 = np.clip(np.trunc(poses_2d[v, :, 0]).astype(np.int64), 0, W - 1)
-        y0 = np.clip(np.trunc(poses_2d[v, :, 1]).astype(np.int64), 0, H - 1)
+        w_v, h_v = widths[v], heights[v]
+        x0 = np.clip(np.trunc(poses_2d[v, :, 0]).astype(np.int64), 0, w_v - 1)
+        y0 = np.clip(np.trunc(poses_2d[v, :, 1]).astype(np.int64), 0, h_v - 1)
+        hm_v = np.zeros((N, h_v, w_v), dtype=np.float32)
         for j in range(N):
             if drop_mask is not None and drop_mask[v, j]:
                 continue
-            img = np.zeros((H, W), dtype=np.float32)
+            img = np.zeros((h_v, w_v), dtype=np.float32)
             img[y0[j], x0[j]] = AMPLITUDE
-            out[v, j] = gaussian_filter(img, sigma=[s1[v, j], s2[v, j]])
-        mn = out[v].reshape(N, -1).min(axis=-1)[:, None, None]
-        mx = out[v].reshape(N, -1).max(axis=-1)[:, None, None]
-        out[v] = (out[v] - mn) / (mx - mn + NORM_EPS)
+            hm_v[j] = gaussian_filter(img, sigma=[s1[v, j], s2[v, j]])
+        mn = hm_v.reshape(N, -1).min(axis=-1)[:, None, None]
+        mx = hm_v.reshape(N, -1).max(axis=-1)[:, None, None]
+        out[v, :, :h_v, :w_v] = (hm_v - mn) / (mx - mn + NORM_EPS)
     return out
