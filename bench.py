@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: per-frame multi-view optimization wall-clock (BASELINE metric).
+
+Runs the flagship H36M configuration — 17 joints, 4 views at 1000×1002,
+500 iterations (125 fused macro steps), l2_gaussian + limb consistency —
+on synthetic inputs and reports seconds per frame. Prints ONE JSON line:
+
+    {"metric": "h36m_frame_opt_seconds", "value": ..., "unit": "s/frame",
+     "vs_baseline": ...}
+
+``vs_baseline`` is speedup vs REF_SECONDS_PER_FRAME, an estimate of the
+reference CUDA pipeline on A100: the repo publishes no numbers
+(BASELINE.md), so we budget its 500 sequential rasterizer forward+backward
+launches (tile binning + radix sort + 17-channel composite over ~1 Mpx,
+plus the python-side loss/optimizer overhead per iteration) at 5 ms/iter
+→ 2.5 s/frame. Replace with a measured number when an A100 run exists.
+
+Usage: python bench.py [--frames 4] [--iterations 500] [--small]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_SECONDS_PER_FRAME = 2.5
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4,
+                    help="timed frames (after 1 compile/warmup frame)")
+    ap.add_argument("--iterations", type=int, default=500)
+    ap.add_argument("--small", action="store_true",
+                    help="256x256 debug size instead of H36M 1000x1002")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from __graft_entry__ import _synthetic_inputs
+    from skelsplat_tpu.core.gaussians import SkeletonModel
+    from skelsplat_tpu.engine.optim import OptConfig
+    from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
+
+    if args.small:
+        W, H = 256, 256
+    else:
+        W, H = 1002, 1000  # H36M max camera size (dataset_readers.py:68-80)
+
+    n = args.frames + 1
+    init, gt, p2d, cams_b = _synthetic_inputs(n, W, H)
+
+    model = SkeletonModel("h36m", 17, scaling=3.0)
+    trainer = SceneTrainer(model, OptConfig(iterations=args.iterations),
+                           TrainSettings(), W, H, renderer="fused")
+
+    times = []
+    for s in range(n):
+        t0 = time.perf_counter()
+        params, hist = trainer.optimize_scene(init[s], p2d[s], cams_b, gt[s])
+        jax.block_until_ready(params.xyz)
+        dt = time.perf_counter() - t0
+        if s > 0:  # frame 0 pays compilation
+            times.append(dt)
+        print(f"frame {s}: {dt:.3f}s"
+              + ("  (compile+run)" if s == 0 else ""), file=sys.stderr)
+
+    value = float(np.mean(times))
+    print(json.dumps({
+        "metric": "h36m_frame_opt_seconds",
+        "value": round(value, 4),
+        "unit": "s/frame",
+        "vs_baseline": round(REF_SECONDS_PER_FRAME / value, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

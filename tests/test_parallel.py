@@ -1,0 +1,89 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh: the sharded
+(scenes × views) training step must produce the same update as the
+single-device trainer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skelsplat_tpu.core.gaussians import SkeletonModel
+from skelsplat_tpu.engine.optim import OptConfig
+from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
+from skelsplat_tpu.parallel import make_mesh, multichip_train_step
+from skelsplat_tpu.parallel.mesh import scene_batch_extents
+from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, project_np
+
+W, H = 96, 80
+NV = 4
+N_J = 17
+
+
+@pytest.fixture(scope="module")
+def batch():
+    cams, _, _ = synthetic_rig(n_views=NV, width=W, height=H)
+    rng = np.random.default_rng(5)
+    scenes = []
+    for b in range(2):
+        gt = synthetic_skeleton(N_J, rng=rng, spread=280.0)
+        p2d = np.stack([project_np(gt, take_cam(cams, v)) for v in range(NV)])
+        init = gt + rng.normal(0, 40, gt.shape).astype(np.float32)
+        scenes.append((init, gt, p2d.astype(np.float32)))
+    initial_b = np.stack([s[0] for s in scenes])
+    gt_b = np.stack([s[1] for s in scenes])
+    p2d_b = np.stack([s[2] for s in scenes])
+    cams_b = jax.tree.map(lambda x: np.stack([x, x]), cams)
+    return initial_b, gt_b, p2d_b, cams_b
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device(batch):
+    initial_b, gt_b, p2d_b, cams_b = batch
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    opt = OptConfig(iterations=8)
+    settings = TrainSettings(consistency_loss="none")
+    trainer = SceneTrainer(model, opt, settings, W, H, renderer="fused")
+
+    mesh = make_mesh(2, 4)
+    prepare, step = multichip_train_step(mesh, trainer)
+    extent_b = jnp.asarray(scene_batch_extents(cams_b))
+
+    params_b, opt_b, spec_b = prepare(
+        jnp.asarray(initial_b), jnp.asarray(p2d_b),
+        jax.tree.map(jnp.asarray, cams_b))
+    # two sharded macro steps
+    for k in range(2):
+        params_b, opt_b, losses = step(
+            params_b, opt_b, spec_b, jnp.asarray(p2d_b),
+            jax.tree.map(jnp.asarray, cams_b), extent_b,
+            jnp.asarray(k, jnp.int32))
+
+    # single-device reference: SceneTrainer per scene for 8 iterations
+    for b in range(2):
+        cams = jax.tree.map(lambda x: x[b], cams_b)
+        p_ref, _ = trainer.optimize_scene(initial_b[b], p2d_b[b], cams,
+                                          gt_b[b])
+        np.testing.assert_allclose(
+            np.asarray(params_b.xyz)[b], np.asarray(p_ref.xyz),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(params_b.log_scales)[b], np.asarray(p_ref.log_scales),
+            rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_shapes_and_sharding(batch):
+    initial_b, gt_b, p2d_b, cams_b = batch
+    mesh = make_mesh(2, 4)
+    assert mesh.shape == {"scenes": 2, "views": 4}
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    trainer = SceneTrainer(model, OptConfig(iterations=4),
+                           TrainSettings(consistency_loss="none"),
+                           W, H, renderer="fused")
+    prepare, step = multichip_train_step(mesh, trainer)
+    params_b, opt_b, spec_b = prepare(
+        jnp.asarray(initial_b), jnp.asarray(p2d_b),
+        jax.tree.map(jnp.asarray, cams_b))
+    # the heatmap spec is sharded over both axes
+    s = spec_b.y0.sharding
+    assert "scenes" in str(s.spec) and "views" in str(s.spec)
