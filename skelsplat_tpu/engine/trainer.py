@@ -43,6 +43,8 @@ from skelsplat_tpu.engine.optim import AdamGroups, OptConfig
 from skelsplat_tpu.ops import heatmaps as hm
 from skelsplat_tpu.ops import rasterizer
 from skelsplat_tpu.ops.fused import fused_view_loss_available, make_fused_view_loss
+from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
+                                             pallas_view_profiles)
 
 REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
 
@@ -121,9 +123,14 @@ class SceneTrainer:
         self.n_macro = opt.iterations // settings.accumulation_steps
         self.adam = AdamGroups(opt)
         if renderer == "auto":
-            renderer = ("fused" if fused_view_loss_available(
-                settings.loss_function, settings.consistency_loss)
-                else "dense")
+            if (settings.loss_function == "l2_gaussian"
+                    and jax.default_backend() == "tpu"):
+                renderer = "pallas"
+            elif fused_view_loss_available(settings.loss_function,
+                                           settings.consistency_loss):
+                renderer = "fused"
+            else:
+                renderer = "dense"
         self.renderer = renderer
         self._prepare, self._segment = self._build_run()
 
@@ -166,6 +173,11 @@ class SceneTrainer:
                                    drop_mask=drop_mask)
             if self.renderer == "dense":
                 view_aux = hm.eval_heatmaps(spec, self.W, self.H)
+            elif self.renderer == "pallas":
+                # per-scene-constant GT profiles, hoisted out of the scan
+                profs = jax.vmap(
+                    lambda sv: pallas_view_profiles(sv, self.W, self.H))(spec)
+                view_aux = (spec, profs)
             else:
                 view_aux = spec
             opt_state = self.adam.init(params)
@@ -182,6 +194,12 @@ class SceneTrainer:
             if self.renderer == "dense":
                 view_loss = lambda p, cam, g, p2: self._view_loss_dense(
                     p, cam, g, p2)
+            elif self.renderer == "pallas":
+                pal = make_pallas_view_loss(
+                    self.model, self.settings, self.W, self.H,
+                    self.antialiasing)
+                view_loss = lambda p, cam, aux, p2: pal(
+                    p, cam, aux[0], p2, profiles=aux[1])
             else:
                 fused = make_fused_view_loss(
                     self.model, self.settings, self.W, self.H,

@@ -1,0 +1,431 @@
+"""Pallas TPU kernel: fully-fused splat rasterization + GT heatmap + masked
+MSE loss, forward and analytic backward.
+
+This is the TPU-native replacement for the reference's hot path — the CUDA
+renderCUDA forward (forward.cu:278-401) and backward (backward.cu:452-638)
+plus the per-iteration loss (train.py:140-150) — collapsed into one kernel:
+
+* the image is never materialized: each grid program owns a (ROWS, W_pad)
+  pixel block in VMEM, composites all N depth-sorted Gaussians (N ≤ 19, so
+  the loop is unrolled — no binning/sorting machinery on-device), evaluates
+  the closed-form GT heatmap from precomputed separable profiles, and
+  accumulates the masked error sum S and mask count C;
+* HBM traffic per view is ~N·(H+W+16) floats in and grid·(N·6+2) floats
+  out — about 10⁴× less than the reference's per-iteration image traffic;
+* the backward kernel recomputes the per-block compositing chain
+  (rematerialization — VMEM only) and produces per-Gaussian analytic
+  gradients of S w.r.t. screen-space quantities (pixel center, conic,
+  opacity), mirroring the α-chain adjoint of backward.cu:452-638: the
+  suffix-sum term −Σ_{k>i} contrib_k·ḡ_k /(1−α_i) falls out of a reverse
+  unrolled pass.
+
+Gradients w.r.t. 3D parameters come from JAX autodiff of the (tiny, N-sized)
+screen-space preprocess around the kernel — the equivalent of the CUDA
+computeCov2DCUDA / preprocessCUDA backward stages (backward.cu:147-449),
+derived instead of hand-written.
+
+Exactness: tests assert value & gradient equality with ops/fused (the
+XLA reference path) to float tolerance, in interpret mode on CPU and
+compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from skelsplat_tpu.core import geometry
+from skelsplat_tpu.ops import heatmaps as hm
+from skelsplat_tpu.ops import rasterizer
+
+ROWS = 16          # pixel rows per grid program
+LANES = 128        # last-dim padding quantum
+
+# gauss pack layout (N, 16): [pix_x, pix_y, conic_a, conic_b, conic_c, opa,
+#   rect_min_x, rect_min_y, rect_max_x, rect_max_y, B, width, height,
+#   gt_row_lo, gt_row_hi, 0]
+PACK = 16
+IDX_PX, IDX_PY, IDX_CA, IDX_CB, IDX_CC, IDX_OPA = 0, 1, 2, 3, 4, 5
+IDX_RX0, IDX_RY0, IDX_RX1, IDX_RY1, IDX_B, IDX_W, IDX_H = 6, 7, 8, 9, 10, 11, 12
+IDX_GY0, IDX_GY1 = 13, 14
+
+
+def _interpret_default():
+    return jax.default_backend() != "tpu"
+
+
+def _block_geometry(y0, rows, w_pad):
+    ys = (y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w_pad), 0)
+          ).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (rows, w_pad), 1).astype(
+        jnp.float32)
+    tile_x = jnp.floor(xs / geometry.BLOCK_X)
+    tile_y = jnp.floor(ys / geometry.BLOCK_Y)
+    return ys, xs, tile_x, tile_y
+
+
+def _slot_alpha(g_ref, i, ys, xs, tile_x, tile_y):
+    """α and gate of sorted slot i over the block (forward.cu:346-366).
+    ``g_ref`` is the SMEM gauss pack; reads are scalar loads."""
+    dx = g_ref[i, IDX_PX] - xs
+    dy = g_ref[i, IDX_PY] - ys
+    a, b, c = g_ref[i, IDX_CA], g_ref[i, IDX_CB], g_ref[i, IDX_CC]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    E = jnp.exp(power)
+    alpha = jnp.minimum(geometry.ALPHA_MAX, g_ref[i, IDX_OPA] * E)
+    tg = ((tile_x >= g_ref[i, IDX_RX0]) & (tile_x < g_ref[i, IDX_RX1])
+          & (tile_y >= g_ref[i, IDX_RY0]) & (tile_y < g_ref[i, IDX_RY1]))
+    gate = (power <= 0.0) & (alpha >= geometry.ALPHA_MIN) & tg
+    return alpha, gate, E, dx, dy, power
+
+
+def _band_overlaps(g_ref, i, y0f, rows):
+    """Scalar predicates: does slot i's splat rect / GT support intersect
+    this program's row band [y0, y0+rows)? Tile rects are in tile units."""
+    ry0 = g_ref[i, IDX_RY0] * geometry.BLOCK_Y
+    ry1 = g_ref[i, IDX_RY1] * geometry.BLOCK_Y
+    rend = (ry1 > y0f) & (ry0 < y0f + rows)
+    gt = (g_ref[i, IDX_GY1] > y0f) & (g_ref[i, IDX_GY0] < y0f + rows)
+    return rend, gt
+
+
+def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref):
+    """g_ref: SMEM (n, PACK); p1_ref: VMEM (ROWS, 128) lane-per-slot rows
+    block; p2_ref: VMEM (n, W_pad); out_ref: SMEM (1, 2).
+
+    Per-slot row-band culling: a slot whose splat rect misses this band has
+    gate ≡ false here (zero α, unchanged T chain) so its compositing work is
+    skipped exactly; if its GT support also misses, the slot contributes
+    nothing at all. This exploits the extreme sparsity of skeleton splats
+    (each Gaussian touches ~6 of 63 row bands).
+    """
+    rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
+    y0 = pl.program_id(0) * rows
+    y0f = jnp.float32(1.0) * y0
+    ys, xs, tile_x, tile_y = _block_geometry(y0, rows, w_pad)
+    in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+
+    # TPU grid programs run sequentially: the shared SMEM output block is
+    # zeroed by the first program and accumulated by all of them.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
+
+    T = jnp.ones((rows, w_pad), jnp.float32)
+    done = jnp.zeros((rows, w_pad), jnp.bool_)
+    S = jnp.zeros((rows, w_pad), jnp.float32)
+    C = jnp.zeros((rows, w_pad), jnp.float32)
+    for i in range(n):
+        rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
+
+        def full_body(carry):
+            T, done, S, C = carry
+            alpha, gate, _, _, _, _ = _slot_alpha(g_ref, i, ys, xs,
+                                                  tile_x, tile_y)
+            a_i = jnp.where(gate, alpha, 0.0)
+            test = T * (1.0 - a_i)
+            live = gate & (test >= geometry.T_MIN) & (~done)
+            contrib = jnp.where(live, a_i * T, 0.0)
+            r = jnp.clip(contrib, 0.0, 1.0)
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            mask = ((gt > 0.0) | (r > 0.0)) & in_img
+            d = r - gt
+            S2 = S + jnp.where(mask, d * d, 0.0)
+            C2 = C + mask.astype(jnp.float32)
+            done2 = done | (gate & (test < geometry.T_MIN) & (~done))
+            T2 = jnp.where(live, test, T)
+            return (T2, done2, S2, C2)
+
+        def gt_only_body(carry):
+            T, done, S, C = carry
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            mask = (gt > 0.0) & in_img
+            S2 = S + jnp.where(mask, gt * gt, 0.0)
+            C2 = C + mask.astype(jnp.float32)
+            return (T, done, S2, C2)
+
+        def skip_body(carry):
+            return jax.lax.cond(gt_ov, gt_only_body, lambda c: c, carry)
+
+        T, done, S, C = jax.lax.cond(
+            rend_ov, full_body, skip_body, (T, done, S, C))
+    out_ref[0, 0] += jnp.sum(S)
+    out_ref[0, 1] += jnp.sum(C)
+
+
+def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref):
+    rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
+    y0 = pl.program_id(0) * rows
+    ys, xs, tile_x, tile_y = _block_geometry(y0, rows, w_pad)
+    in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for j in range(dg_ref.shape[1]):
+            dg_ref[0, j] = 0.0
+
+    y0f = jnp.float32(1.0) * y0
+    # pass 1: recompute chain, store per-slot alpha/live/T/ghat.
+    # Band-culled like the forward: a slot whose rect misses the band leaves
+    # the chain unchanged and gets zero stored state (no gradient).
+    T = jnp.ones((rows, w_pad), jnp.float32)
+    done = jnp.zeros((rows, w_pad), jnp.bool_)
+    zeros = jnp.zeros((rows, w_pad), jnp.float32)
+    falses = jnp.zeros((rows, w_pad), jnp.bool_)
+    alphas, lives, Ts, ghats, Es, dxs, dys, rends = ([], [], [], [], [], [],
+                                                     [], [])
+    for i in range(n):
+        rend_ov, _ = _band_overlaps(g_ref, i, y0f, rows)
+        rends.append(rend_ov)
+
+        def full_body(carry):
+            T, done = carry
+            alpha, gate, E, dx, dy, power = _slot_alpha(
+                g_ref, i, ys, xs, tile_x, tile_y)
+            a_i = jnp.where(gate, alpha, 0.0)
+            test = T * (1.0 - a_i)
+            live = gate & (test >= geometry.T_MIN) & (~done)
+            contrib = jnp.where(live, a_i * T, 0.0)
+            r = jnp.clip(contrib, 0.0, 1.0)
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            mask = ((gt > 0.0) | (r > 0.0)) & in_img
+            # ∂S/∂contrib (clip is pass-through on [0, 0.99])
+            ghat = jnp.where(mask & live, 2.0 * (r - gt), 0.0)
+            done2 = done | (gate & (test < geometry.T_MIN) & (~done))
+            T2 = jnp.where(live, test, T)
+            return (a_i, live, T, ghat, E, dx, dy, T2, done2)
+
+        def skip_body(carry):
+            T, done = carry
+            return (zeros, falses, T, zeros, zeros, zeros, zeros, T, done)
+
+        (a_i, live, T_i, ghat, E, dx, dy, T, done) = jax.lax.cond(
+            rend_ov, full_body, skip_body, (T, done))
+        alphas.append(a_i)
+        lives.append(live)
+        Ts.append(T_i)
+        ghats.append(ghat)
+        Es.append(E)
+        dxs.append(dx)
+        dys.append(dy)
+
+    # pass 2 (reverse): suffix sums → per-slot gradients (flat SMEM out).
+    # Skipped slots have contrib = ghat = 0, so the suffix passes through
+    # and their gradient writes are culled with pl.when.
+    suffix = jnp.zeros((rows, w_pad), jnp.float32)
+    for i in range(n - 1, -1, -1):
+        a_i, live, T_i, ghat = alphas[i], lives[i], Ts[i], ghats[i]
+        E, dx, dy = Es[i], dxs[i], dys[i]
+
+        @pl.when(rends[i])
+        def _(i=i, a_i=a_i, live=live, T_i=T_i, ghat=ghat, E=E, dx=dx,
+              dy=dy, suffix=suffix):
+            dalpha = jnp.where(
+                live, T_i * ghat - suffix / (1.0 - a_i), 0.0)
+            # α = min(0.99, opa·E): clamp kills the gradient
+            unclamped = (g_ref[i, IDX_OPA] * E) < geometry.ALPHA_MAX
+            dalpha = jnp.where(unclamped, dalpha, 0.0)
+            dpower = dalpha * a_i      # dα/dpower = opa·E = α (unclamped)
+            a_c = g_ref[i, IDX_CA]
+            b_c = g_ref[i, IDX_CB]
+            c_c = g_ref[i, IDX_CC]
+            base = i * PACK
+            dg_ref[0, base + IDX_PX] += jnp.sum(
+                dpower * (-a_c * dx - b_c * dy))
+            dg_ref[0, base + IDX_PY] += jnp.sum(
+                dpower * (-c_c * dy - b_c * dx))
+            dg_ref[0, base + IDX_CA] += jnp.sum(dpower * (-0.5 * dx * dx))
+            dg_ref[0, base + IDX_CB] += jnp.sum(dpower * (-dx * dy))
+            dg_ref[0, base + IDX_CC] += jnp.sum(dpower * (-0.5 * dy * dy))
+            dg_ref[0, base + IDX_OPA] += jnp.sum(dalpha * E)
+
+        suffix = suffix + jnp.where(live, a_i * T_i, 0.0) * ghat
+
+
+def _run_fwd(gauss, p1, p2, interpret):
+    n = gauss.shape[0]
+    n_prog = p1.shape[0] // ROWS
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((n, PACK), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        interpret=interpret,
+    )(gauss, p1, p2)
+    return out[0, 0], out[0, 1]
+
+
+def _run_bwd(gauss, p1, p2, interpret):
+    n = gauss.shape[0]
+    n_prog = p1.shape[0] // ROWS
+    dg = pl.pallas_call(
+        functools.partial(_bwd_kernel, n),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((n, PACK), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n * PACK), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
+        interpret=interpret,
+    )(gauss, p1, p2)
+    return dg.reshape(n, PACK)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_S_C(gauss, p1, p2, interpret):
+    return _run_fwd(gauss, p1, p2, interpret)
+
+
+def _pallas_fwd(gauss, p1, p2, interpret):
+    S, C = _run_fwd(gauss, p1, p2, interpret)
+    return (S, C), (gauss, p1, p2)
+
+
+def _pallas_bwd(interpret, res, cot):
+    gauss, p1, p2 = res
+    gS, _ = cot
+    dg = _run_bwd(gauss, p1, p2, interpret) * gS
+    return dg, jnp.zeros_like(p1), jnp.zeros_like(p2)
+
+
+_pallas_S_C.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# jnp wrapper: preprocess + sort + profile precompute around the kernel
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, size, axis, value=0.0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def pallas_view_profiles(spec_v, W: int, H: int):
+    """Per-scene-constant GT state for one view: lane-major row profiles
+    p1' = A·p1 (H_pad, LANES), column profiles p2 (N, W_pad) and the affine
+    offset B so that gt = p1'·p2 + B. Computed ONCE per scene (the spec is
+    frozen at the initial covariance, train.py:91-92) and reused by every
+    macro step."""
+    n = spec_v.y0.shape[0]
+    H_pad = -(-H // ROWS) * ROWS
+    W_pad = -(-W // LANES) * LANES
+    ys = jnp.arange(H_pad, dtype=jnp.int32)
+    xs = jnp.arange(W_pad, dtype=jnp.int32)
+    p1 = hm._profile(ys[None, :], spec_v.y0[:, None], spec_v.sigma1[:, None],
+                     spec_v.r1[:, None], spec_v.sum1[:, None],
+                     spec_v.height[:, None])            # (N, H_pad)
+    p2 = hm._profile(xs[None, :], spec_v.x0[:, None], spec_v.sigma2[:, None],
+                     spec_v.r2[:, None], spec_v.sum2[:, None],
+                     spec_v.width[:, None])             # (N, W_pad)
+    denom = spec_v.mx - spec_v.mn + hm.NORM_EPS
+    A = spec_v.amp / denom
+    B = -spec_v.mn / denom
+    p1 = p1 * A[:, None]
+    p1_lane = _pad_to(p1.T, LANES, axis=1)              # (H_pad, LANES)
+    return jax.lax.stop_gradient((p1_lane, p2, B))
+
+
+def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
+                           antialiasing: bool = False,
+                           interpret: bool | None = None,
+                           profiles=None):
+    """l2_gaussian view loss — Pallas-fused twin of fused.fused_view_loss.
+
+    ``profiles``: optional precomputed ``pallas_view_profiles`` output;
+    passing it keeps the per-step work to the N-sized preprocess + kernel.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = params.n_joints
+    cov6 = params.covariance()
+    pp = rasterizer.preprocess_gaussians(
+        params.xyz, cov6, params.opacity, cam, W, H, antialiasing)
+
+    order = jnp.argsort(jnp.where(pp.valid, pp.depth, jnp.inf))
+
+    if profiles is None:
+        profiles = pallas_view_profiles(spec_v, W, H)
+    p1_lane, p2, B = profiles
+
+    # sorted, channel-aligned slot data
+    opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
+    gauss = jnp.zeros((n, PACK), jnp.float32)
+    gauss = gauss.at[:, IDX_PX].set(pp.pix[:, 0])
+    gauss = gauss.at[:, IDX_PY].set(pp.pix[:, 1])
+    gauss = gauss.at[:, IDX_CA].set(pp.conic[:, 0])
+    gauss = gauss.at[:, IDX_CB].set(pp.conic[:, 1])
+    gauss = gauss.at[:, IDX_CC].set(pp.conic[:, 2])
+    gauss = gauss.at[:, IDX_OPA].set(opa)
+    rect = jax.lax.stop_gradient(jnp.concatenate(
+        [pp.rect_min, pp.rect_max], axis=1).astype(jnp.float32))
+    gauss = gauss.at[:, IDX_RX0:IDX_RY1 + 1].set(rect)
+    gauss = gauss.at[:, IDX_B].set(B)
+    gauss = gauss.at[:, IDX_W].set(spec_v.width[0])
+    gauss = gauss.at[:, IDX_H].set(spec_v.height[0])
+
+    gauss_s = gauss[order]
+    # permute the per-scene-constant profiles into depth order: lane gather
+    # on p1 (column=channel), row gather on p2
+    p1_s = jnp.concatenate([p1_lane[:, order], p1_lane[:, n:]], axis=1)
+    p2_s = p2[order]
+
+    # GT row support per slot for the kernel's band culling: gt > 0 requires
+    # p1 > 0 (B = −mn/denom ≤ 0), so the nonzero-row span of the profile is
+    # a tight conservative bound.
+    nz = p1_s[:, :n] > 0.0                               # (H_pad, n)
+    has = jnp.any(nz, axis=0)
+    h_pad = p1_s.shape[0]
+    first = jnp.argmax(nz, axis=0)
+    last = h_pad - jnp.argmax(nz[::-1], axis=0)
+    gy0 = jnp.where(has, first, 0).astype(jnp.float32)
+    gy1 = jnp.where(has, last, 0).astype(jnp.float32)
+    gauss_s = gauss_s.at[:, IDX_GY0].set(jax.lax.stop_gradient(gy0))
+    gauss_s = gauss_s.at[:, IDX_GY1].set(jax.lax.stop_gradient(gy1))
+
+    S, C = _pallas_S_C(gauss_s, p1_s, p2_s, interpret)
+    return S / jnp.maximum(C, 1.0)
+
+
+def make_pallas_view_loss(model, settings, W: int, H: int,
+                          antialiasing: bool = False,
+                          interpret: bool | None = None):
+    """Per-view total loss with the SceneTrainer signature
+    (params, cam, spec_v, pose_2d_v)."""
+    from skelsplat_tpu import losses as loss_registry
+
+    cons_fn = loss_registry.consistency_losses[settings.consistency_loss]
+
+    def view_loss(params, cam, spec_v, pose_2d_v, profiles=None):
+        main = fused_view_loss_pallas(params, cam, spec_v, W, H,
+                                      antialiasing, interpret,
+                                      profiles=profiles)
+        cons = cons_fn(params.xyz, model.scene_type, reduction="mean")
+        return main + cons * settings.lambda_consistency
+
+    return view_loss

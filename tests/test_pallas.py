@@ -1,0 +1,97 @@
+"""Pallas fused kernel parity vs the XLA fused path (interpret mode on CPU;
+the same assertions run compiled on TPU via SKELSPLAT_TEST_TPU=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skelsplat_tpu.core.gaussians import SkeletonModel
+from skelsplat_tpu.engine.optim import OptConfig
+from skelsplat_tpu.engine.trainer import (SceneTrainer, TrainSettings,
+                                          init_params_jnp)
+from skelsplat_tpu.ops import fused, heatmaps
+from skelsplat_tpu.ops.pallas_raster import fused_view_loss_pallas
+from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, project_np
+
+N_J = 17
+W, H = 112, 96
+NV = 3
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cams, _, _ = synthetic_rig(n_views=NV, width=W, height=H)
+    rng = np.random.default_rng(3)
+    gt = synthetic_skeleton(N_J, rng=rng, spread=300.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v)) for v in range(NV)])
+    init = gt + rng.normal(0, 50, gt.shape).astype(np.float32)
+    params = init_params_jnp(jnp.asarray(init), "h36m", 3.0, 1.0)
+    spec = heatmaps.heatmap_spec(params.xyz, params.covariance(),
+                                 jnp.asarray(p2d.astype(np.float32)),
+                                 cams, W, H)
+    return cams, gt, p2d.astype(np.float32), init, params, spec
+
+
+def test_pallas_value_matches_fused(scene):
+    cams, gt, p2d, init, params, spec = scene
+    for v in range(NV):
+        cam = take_cam(jax.tree.map(jnp.asarray, cams), v)
+        spec_v = jax.tree.map(lambda x: x[v], spec)
+        l_ref = float(fused.fused_view_loss(params, cam, spec_v, W, H))
+        l_pal = float(fused_view_loss_pallas(params, cam, spec_v, W, H))
+        assert abs(l_ref - l_pal) < 1e-6, f"view {v}"
+
+
+def test_pallas_grads_match_fused(scene):
+    cams, gt, p2d, init, params, spec = scene
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    spec_v = jax.tree.map(lambda x: x[0], spec)
+    g1 = jax.grad(lambda p: fused.fused_view_loss(p, cam, spec_v, W, H))(params)
+    g2 = jax.grad(
+        lambda p: fused_view_loss_pallas(p, cam, spec_v, W, H))(params)
+    for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
+        a = np.asarray(getattr(g1, nm))
+        b = np.asarray(getattr(g2, nm))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() < 1e-5 * max(scale, 1e-3), nm
+
+
+def test_pallas_grads_nontrivial_pose(scene):
+    """After some optimization the scales are anisotropic and quats get real
+    gradients — check parity away from the symmetric init point."""
+    import dataclasses
+    cams, gt, p2d, init, params, spec = scene
+    rng = np.random.default_rng(9)
+    params2 = dataclasses.replace(
+        params,
+        log_scales=params.log_scales + jnp.asarray(
+            rng.normal(0, 0.3, (N_J, 3)).astype(np.float32)),
+        quats=params.quats + jnp.asarray(
+            rng.normal(0, 0.2, (N_J, 4)).astype(np.float32)),
+    )
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 1)
+    spec_v = jax.tree.map(lambda x: x[1], spec)
+    g1 = jax.grad(lambda p: fused.fused_view_loss(p, cam, spec_v, W, H))(params2)
+    g2 = jax.grad(
+        lambda p: fused_view_loss_pallas(p, cam, spec_v, W, H))(params2)
+    assert np.abs(np.asarray(g1.quats)).max() > 0
+    for nm in ["xyz", "log_scales", "quats"]:
+        a = np.asarray(getattr(g1, nm))
+        b = np.asarray(getattr(g2, nm))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-8,
+                                   err_msg=nm)
+
+
+def test_trainer_pallas_matches_fused(scene):
+    cams, gt, p2d, init, params, spec = scene
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    opt = OptConfig(iterations=12)
+    t_f = SceneTrainer(model, opt, TrainSettings(), W, H, renderer="fused")
+    t_p = SceneTrainer(model, opt, TrainSettings(), W, H, renderer="pallas")
+    pf, hf = t_f.optimize_scene(init, p2d, cams, gt)
+    pp, hp = t_p.optimize_scene(init, p2d, cams, gt)
+    np.testing.assert_allclose(np.asarray(pp.xyz), np.asarray(pf.xyz),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hp.losses), np.asarray(hf.losses),
+                               rtol=1e-5, atol=1e-7)

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from skelsplat_tpu.tools import initial_guess
+
+
+def _reference_fusion(world_poses, poses2d, P):
+    """Literal loop transcription of compute_initial_guess.py:23-117."""
+    ncams, nframes, njoints, _ = world_poses.shape
+    ones = np.ones((ncams, nframes, njoints, 1))
+    hom = np.concatenate([world_poses, ones], axis=-1)
+
+    errors_all = []
+    for frame in range(nframes):
+        per_pose = []
+        for i_pose in range(ncams):
+            projs = []
+            for i_image in range(ncams):
+                t3 = (P[i_image] @ hom[i_pose, frame].T).T
+                projs.append(t3[:, :2] / t3[:, 2:3])
+            l2 = [np.linalg.norm(projs[c] - poses2d[c, frame], axis=-1)
+                  for c in range(ncams)]
+            per_pose.append(np.mean(np.stack(l2, 0), axis=0))
+        errors_all.append(np.stack(per_pose, 0))
+    errors = np.array(errors_all)  # (F, C, J)
+
+    fused = []
+    for frame in range(nframes):
+        pose = []
+        for j in range(njoints):
+            w = 1.0 / errors[frame, :, j]
+            w = w / w.sum()
+            pose.append(np.average(world_poses[:, frame, j, :], axis=0,
+                                   weights=w))
+        fused.append(pose)
+    return np.array(fused)
+
+
+def test_fusion_matches_reference_loop(rng):
+    C, F, J = 4, 3, 17
+    world = rng.normal(0, 300, (C, F, J, 3))
+    world[..., 2] += 4000
+    P = rng.normal(0, 1, (C, 3, 4))
+    P[:, 2, 3] += 50  # keep projective depth away from 0
+    det = rng.normal(0, 100, (C, F, J, 2)) + 500
+    ours = initial_guess.fuse_poses(world, det, P)
+    ref = _reference_fusion(world, det, P)
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-8)
+
+
+def test_fusion_prefers_consistent_camera(rng):
+    """A camera whose mono pose reprojects consistently everywhere should
+    dominate the weighted average."""
+    C, F, J = 3, 1, 5
+    true = rng.normal(0, 200, (J, 3))
+    true[:, 2] += 3000
+    # simple orthographic-ish projections
+    P = np.zeros((C, 3, 4))
+    for c in range(C):
+        P[c, 0, 0] = P[c, 1, 1] = 1.0
+        P[c, 2, 3] = 1.0
+        P[c, 0, 3] = 10.0 * c
+    det = np.stack([(P[c, :2, :3] @ true.T).T + P[c, :2, 3]
+                    for c in range(C)])[:, None]
+    world = np.stack([true[None] + rng.normal(0, 200, (1, J, 3)),
+                      true[None] + rng.normal(0, 200, (1, J, 3)),
+                      true[None] + rng.normal(0, 1, (1, J, 3))])
+    # camera 2's mono pose is near-exact (exactly 0 would make the inverse
+    # reprojection-error weight infinite — a real quirk of the reference)
+    fused = initial_guess.fuse_poses(world, det, P)
+    err_fused = np.linalg.norm(fused[0] - true, axis=1).mean()
+    err_mean = np.linalg.norm(world.mean(0)[0] - true, axis=1).mean()
+    assert err_fused < err_mean
+
+
+def test_similarity_weights(rng):
+    import jax.numpy as jnp
+    from skelsplat_tpu.ops import similarity
+
+    grads = rng.normal(0, 1, (4, 17, 3)).astype(np.float32)
+    # make views 0-2 agree on joint 0, view 3 disagree
+    grads[0, 0] = grads[1, 0] = grads[2, 0] = [1.0, 0, 0]
+    grads[3, 0] = [-1.0, 0, 0]
+    w = np.asarray(similarity.consistency_weights(jnp.asarray(grads)))
+    assert w.shape == (4, 17)
+    np.testing.assert_allclose(w.sum(0), 1.0, atol=1e-6)
+    assert w[3, 0] < w[0, 0]  # disagreeing view downweighted
+    sim = np.asarray(similarity.cosine_similarity_matrix(jnp.asarray(grads)))
+    assert np.isclose(sim[0, 0, 1], 1.0, atol=1e-6)
+    assert np.isclose(sim[0, 0, 3], -1.0, atol=1e-6)
+    idx = np.asarray(similarity.select_consistent_views(jnp.asarray(grads), 3))
+    assert 3 not in idx[0]
