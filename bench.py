@@ -54,7 +54,7 @@ def main(argv=None):
 
     model = SkeletonModel("h36m", 17, scaling=3.0)
     trainer = SceneTrainer(model, OptConfig(iterations=args.iterations),
-                           TrainSettings(), W, H, renderer="fused")
+                           TrainSettings(), W, H, renderer="auto")
 
     times = []
     for s in range(n):

@@ -17,4 +17,22 @@ Layering (cf. SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA/Mosaic compilation cache: the fused scan programs take
+# minutes to compile (especially through remote-compile TPU setups) but are
+# identical across processes — cache them on disk unless the user overrides.
+if not _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "skelsplat-jax"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 from skelsplat_tpu.core import geometry  # noqa: F401

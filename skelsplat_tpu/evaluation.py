@@ -38,23 +38,34 @@ def align_pred_cpn(pred_coords, gt_coords, image_relpaths):
                       pred_coords[start_poses:]))
 
 
+def _bulk_read(paths):
+    """Threaded native PLY sweep with Python fallback — the eval bottleneck
+    when sweeping thousands of per-scene clouds."""
+    from skelsplat_tpu import native
+
+    out, counts = native.read_xyz_batch(paths, max_pts=64)
+    n = counts[0]
+    if not np.all(counts == n):
+        # mixed sizes or native parse errors: per-file fallback
+        return np.array([ply.read_xyz(p) for p in paths])
+    return np.ascontiguousarray(out[:, :n, :])
+
+
 def get_pred_coords_h36m(ply_dir, sorted_entries, absolute=False, cpn=False):
     """eval.py:22-39."""
-    activities, pred_coords = [], []
+    activities, paths = [], []
     for subject, activity, frame in sorted_entries:
         if absolute and subject == "S9" and activity in S9_BAD:
             continue
-        pred_coords.append(
-            ply.read_xyz(f"{ply_dir}/{subject}_{activity}_{frame}"))
+        paths.append(f"{ply_dir}/{subject}_{activity}_{frame}")
         activities.append(activity.split(" ")[0])
-    return np.array(pred_coords), np.array(activities)
+    return _bulk_read(paths), np.array(activities)
 
 
 def get_pred_coords(ply_dir, sorted_entries, absolute=False):
     """eval.py:41-52."""
-    return np.array([
-        ply.read_xyz(f"{ply_dir}/{subject}_{activity}_{frame}")
-        for subject, activity, frame in sorted_entries])
+    return _bulk_read([f"{ply_dir}/{subject}_{activity}_{frame}"
+                       for subject, activity, frame in sorted_entries])
 
 
 def get_gt_poses_h36m(gt_path, absolute=False, cpn=False, frame_step=64):

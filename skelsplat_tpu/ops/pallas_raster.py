@@ -94,7 +94,7 @@ def _band_overlaps(g_ref, i, y0f, rows):
     return rend, gt
 
 
-def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref):
+def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref, T_ref, done_ref):
     """g_ref: SMEM (n, PACK); p1_ref: VMEM (ROWS, 128) lane-per-slot rows
     block; p2_ref: VMEM (n, W_pad); out_ref: SMEM (1, 2).
 
@@ -117,15 +117,19 @@ def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref):
         out_ref[0, 0] = 0.0
         out_ref[0, 1] = 0.0
 
-    T = jnp.ones((rows, w_pad), jnp.float32)
-    done = jnp.zeros((rows, w_pad), jnp.bool_)
-    S = jnp.zeros((rows, w_pad), jnp.float32)
-    C = jnp.zeros((rows, w_pad), jnp.float32)
+    # Chain state lives in VMEM scratch so the per-slot bodies are pure
+    # side effects under pl.when (Mosaic cannot handle lax.cond carrying
+    # many vector results, but predicated ref mutation is the canonical
+    # pattern).
+    T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
+    done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
 
-        def full_body(carry):
-            T, done, S, C = carry
+        @pl.when(rend_ov)
+        def _(i=i):
+            T = T_ref[:]
+            done = done_ref[:] > 0.0
             alpha, gate, _, _, _, _ = _slot_alpha(g_ref, i, ys, xs,
                                                   tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
@@ -136,30 +140,28 @@ def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref):
             gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
-            S2 = S + jnp.where(mask, d * d, 0.0)
-            C2 = C + mask.astype(jnp.float32)
+            out_ref[0, 0] += jnp.sum(jnp.where(mask, d * d, 0.0))
+            out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
             done2 = done | (gate & (test < geometry.T_MIN) & (~done))
-            T2 = jnp.where(live, test, T)
-            return (T2, done2, S2, C2)
+            done_ref[:] = done2.astype(jnp.float32)
+            T_ref[:] = jnp.where(live, test, T)
 
-        def gt_only_body(carry):
-            T, done, S, C = carry
+        @pl.when(jnp.logical_not(rend_ov) & gt_ov)
+        def _(i=i):
             gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
             mask = (gt > 0.0) & in_img
-            S2 = S + jnp.where(mask, gt * gt, 0.0)
-            C2 = C + mask.astype(jnp.float32)
-            return (T, done, S2, C2)
-
-        def skip_body(carry):
-            return jax.lax.cond(gt_ov, gt_only_body, lambda c: c, carry)
-
-        T, done, S, C = jax.lax.cond(
-            rend_ov, full_body, skip_body, (T, done, S, C))
-    out_ref[0, 0] += jnp.sum(S)
-    out_ref[0, 1] += jnp.sum(C)
+            out_ref[0, 0] += jnp.sum(jnp.where(mask, gt * gt, 0.0))
+            out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
-def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref):
+def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref, T_ref, done_ref,
+                al_ref, Ti_ref, gh_ref, sfx_ref):
+    """Ref-style backward: pass 1 recomputes the band-culled chain and
+    stores per-slot (live-masked α, T before the slot, ∂S/∂contrib) into
+    VMEM scratch stacks; pass 2 walks slots in reverse, accumulating the
+    suffix term and the per-slot gradient partials (backward.cu:452-638's
+    α-chain adjoint). Skipped slots store zeros, so the suffix passes
+    through them untouched."""
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
     y0 = pl.program_id(0) * rows
     ys, xs, tile_x, tile_y = _block_geometry(y0, rows, w_pad)
@@ -171,21 +173,21 @@ def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref):
             dg_ref[0, j] = 0.0
 
     y0f = jnp.float32(1.0) * y0
-    # pass 1: recompute chain, store per-slot alpha/live/T/ghat.
-    # Band-culled like the forward: a slot whose rect misses the band leaves
-    # the chain unchanged and gets zero stored state (no gradient).
-    T = jnp.ones((rows, w_pad), jnp.float32)
-    done = jnp.zeros((rows, w_pad), jnp.bool_)
+    T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
+    done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     zeros = jnp.zeros((rows, w_pad), jnp.float32)
-    falses = jnp.zeros((rows, w_pad), jnp.bool_)
-    alphas, lives, Ts, ghats, Es, dxs, dys, rends = ([], [], [], [], [], [],
-                                                     [], [])
+    rends = []
     for i in range(n):
         rend_ov, _ = _band_overlaps(g_ref, i, y0f, rows)
         rends.append(rend_ov)
+        al_ref[i] = zeros
+        Ti_ref[i] = zeros
+        gh_ref[i] = zeros
 
-        def full_body(carry):
-            T, done = carry
+        @pl.when(rend_ov)
+        def _(i=i):
+            T = T_ref[:]
+            done = done_ref[:] > 0.0
             alpha, gate, E, dx, dy, power = _slot_alpha(
                 g_ref, i, ys, xs, tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
@@ -195,39 +197,30 @@ def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref):
             r = jnp.clip(contrib, 0.0, 1.0)
             gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
+            # live-masked α: pass 2 recovers live = (stored α > 0)
+            al_ref[i] = jnp.where(live, a_i, 0.0)
+            Ti_ref[i] = T
             # ∂S/∂contrib (clip is pass-through on [0, 0.99])
-            ghat = jnp.where(mask & live, 2.0 * (r - gt), 0.0)
-            done2 = done | (gate & (test < geometry.T_MIN) & (~done))
-            T2 = jnp.where(live, test, T)
-            return (a_i, live, T, ghat, E, dx, dy, T2, done2)
+            gh_ref[i] = jnp.where(mask & live, 2.0 * (r - gt), 0.0)
+            done_ref[:] = (done | (gate & (test < geometry.T_MIN)
+                                   & (~done))).astype(jnp.float32)
+            T_ref[:] = jnp.where(live, test, T)
 
-        def skip_body(carry):
-            T, done = carry
-            return (zeros, falses, T, zeros, zeros, zeros, zeros, T, done)
-
-        (a_i, live, T_i, ghat, E, dx, dy, T, done) = jax.lax.cond(
-            rend_ov, full_body, skip_body, (T, done))
-        alphas.append(a_i)
-        lives.append(live)
-        Ts.append(T_i)
-        ghats.append(ghat)
-        Es.append(E)
-        dxs.append(dx)
-        dys.append(dy)
-
-    # pass 2 (reverse): suffix sums → per-slot gradients (flat SMEM out).
-    # Skipped slots have contrib = ghat = 0, so the suffix passes through
-    # and their gradient writes are culled with pl.when.
-    suffix = jnp.zeros((rows, w_pad), jnp.float32)
+    # pass 2 (reverse): suffix in scratch; gradients only for band slots
+    sfx_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n - 1, -1, -1):
-        a_i, live, T_i, ghat = alphas[i], lives[i], Ts[i], ghats[i]
-        E, dx, dy = Es[i], dxs[i], dys[i]
-
         @pl.when(rends[i])
-        def _(i=i, a_i=a_i, live=live, T_i=T_i, ghat=ghat, E=E, dx=dx,
-              dy=dy, suffix=suffix):
+        def _(i=i):
+            a_i = al_ref[i]
+            live = a_i > 0.0
+            T_i = Ti_ref[i]
+            ghat = gh_ref[i]
+            suffix = sfx_ref[:]
             dalpha = jnp.where(
                 live, T_i * ghat - suffix / (1.0 - a_i), 0.0)
+            # recompute E, dx, dy (cheaper than storing them)
+            _, _, E, dx, dy, _ = _slot_alpha(g_ref, i, ys, xs,
+                                             tile_x, tile_y)
             # α = min(0.99, opa·E): clamp kills the gradient
             unclamped = (g_ref[i, IDX_OPA] * E) < geometry.ALPHA_MAX
             dalpha = jnp.where(unclamped, dalpha, 0.0)
@@ -244,8 +237,7 @@ def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref):
             dg_ref[0, base + IDX_CB] += jnp.sum(dpower * (-dx * dy))
             dg_ref[0, base + IDX_CC] += jnp.sum(dpower * (-0.5 * dy * dy))
             dg_ref[0, base + IDX_OPA] += jnp.sum(dalpha * E)
-
-        suffix = suffix + jnp.where(live, a_i * T_i, 0.0) * ghat
+            sfx_ref[:] = suffix + a_i * T_i * ghat
 
 
 def _run_fwd(gauss, p1, p2, interpret):
@@ -266,6 +258,10 @@ def _run_fwd(gauss, p1, p2, interpret):
         out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),   # T
+            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),   # done mask
+        ],
         interpret=interpret,
     )(gauss, p1, p2)
     return out[0, 0], out[0, 1]
@@ -288,6 +284,14 @@ def _run_bwd(gauss, p1, p2, interpret):
         out_specs=pl.BlockSpec((1, n * PACK), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # T
+            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # done mask
+            pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # live-α stack
+            pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # T stack
+            pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # ghat stack
+            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # suffix
+        ],
         interpret=interpret,
     )(gauss, p1, p2)
     return dg.reshape(n, PACK)
