@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--small", action="store_true",
                     help="256x256 debug size instead of H36M 1000x1002")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also measure same-chip scene batching at this "
+                         "batch size (throughput mode)")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,6 +71,24 @@ def main(argv=None):
               + ("  (compile+run)" if s == 0 else ""), file=sys.stderr)
 
     value = float(np.mean(times))
+
+    if args.batch > 1:
+        B = args.batch
+        initb, gtb, p2db, _ = _synthetic_inputs(B, W, H)
+        import jax.numpy as jnp
+        import numpy as _np
+        cams_bb = jax.tree.map(lambda x: _np.stack([_np.asarray(x)] * B),
+                               cams_b)
+        for rep in range(2):
+            t0 = time.perf_counter()
+            pb, hb = trainer.optimize_scene_batch(initb, p2db, cams_bb, gtb)
+            jax.block_until_ready(pb.xyz)
+            dt = time.perf_counter() - t0
+            print(f"batch {B}: {dt:.3f}s total, {dt / B:.4f} s/frame"
+                  + ("  (compile+run)" if rep == 0 else ""),
+                  file=sys.stderr)
+        value = dt / B
+
     print(json.dumps({
         "metric": "h36m_frame_opt_seconds",
         "value": round(value, 4),

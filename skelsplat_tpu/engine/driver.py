@@ -158,8 +158,23 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     results = []
     drop_key = jax.random.PRNGKey(0)
 
+    # Same-chip scene batching (throughput mode): an additive config knob —
+    # `training.scene_batch=B` vmaps B independent scenes through one
+    # program. Falls back to the per-scene path when intermediate
+    # save_iterations, dropout or noise are requested.
+    scene_batch = int(getattr(training_group, "scene_batch", 1) or 1)
+    batchable = (scene_batch > 1 and not settings.dropout
+                 and settings.std_dev_noise == 0.0
+                 and all(it >= opt_cfg.iterations or it <= 0
+                         for it in save_iterations))
+
     log.info(f"Training on {len(dataset_loader)} scenes")
     total_opt_seconds = 0.0
+
+    if batchable:
+        return _training_batched(dataset, dataset_loader, model, opt_cfg,
+                                 settings, pipe, debug, save_iterations,
+                                 scene_batch, output_dir, tb_writer, log)
 
     for scene_id, record in dataset_loader:
         cameras = cameras_io.build_camera_batch(record.cameras)
@@ -241,6 +256,97 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         json.dump({"scenes": results,
                    "mean_seconds_per_scene": total_opt_seconds / n}, f,
                   indent=2)
+    print("Training completed.")
+    return results
+
+
+def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
+                      pipe, debug, save_iterations, scene_batch, output_dir,
+                      tb_writer, log):
+    """Throughput scene loop: group same-shape scenes into vmapped batches
+    (bitwise-identical per-scene results; see tests)."""
+    import itertools
+
+    records = [rec for _, rec in dataset_loader]
+    results = []
+    trainers: dict[tuple, SceneTrainer] = {}
+    total = 0.0
+
+    def shape_key(rec):
+        cams = cameras_io.build_camera_batch(rec.cameras)
+        W = int(np.asarray(cams.width).max())
+        H = int(np.asarray(cams.height).max())
+        return (W, H, len(rec.cameras)), cams
+
+    i = 0
+    while i < len(records):
+        key, cams0 = shape_key(records[i])
+        group = [(records[i], cams0)]
+        j = i + 1
+        while j < len(records) and len(group) < scene_batch:
+            k2, c2 = shape_key(records[j])
+            if k2 != key:
+                break
+            group.append((records[j], c2))
+            j += 1
+        i = j
+
+        W, H, nv = key
+        if key not in trainers:
+            trainers[key] = SceneTrainer(
+                model, opt_cfg, settings, W, H,
+                antialiasing=bool(pipe.antialiasing))
+        trainer = trainers[key]
+
+        init_b = np.stack([np.asarray(r.pose_3d, np.float32)
+                           for r, _ in group])
+        gt_b = np.stack([np.asarray(r.pose_3d_gt, np.float32)
+                         for r, _ in group])
+        p2d_b = np.stack([np.asarray(r.poses_2d, np.float32)[..., :2]
+                          for r, _ in group])
+        cams_b = jax.tree.map(lambda *xs: np.stack(xs),
+                              *[c for _, c in group])
+
+        _save_scene_artifacts(output_dir, group[-1][0])
+        t0 = time.perf_counter()
+        params_b, hist_b = trainer.optimize_scene_batch(
+            init_b, p2d_b, cams_b, gt_b)
+        jax.block_until_ready(params_b.xyz)
+        dt = time.perf_counter() - t0
+        total += dt
+
+        for b, (rec, _) in enumerate(group):
+            path = os.path.join(output_dir, "point_cloud",
+                                f"iteration_{opt_cfg.iterations}",
+                                f"{rec.scene_name}.ply")
+            ply.write_gaussian_ply(
+                path, np.asarray(params_b.xyz[b]),
+                np.asarray(params_b.log_scales[b]),
+                np.asarray(params_b.quats[b]),
+                np.asarray(params_b.opacity_logit[b]))
+            err = np.asarray(hist_b.error)[b, -1]
+            err_rel = np.asarray(hist_b.error_rel)[b, -1]
+            subject, activity, step = _parse_scene_name(
+                rec.scene_name, dataset.data_root)
+            if subject == "S9" and activity in S9_BAD:
+                err = np.zeros_like(err)
+            results.append({
+                "scene_id": rec.scene_id,
+                "scene_name": rec.scene_name,
+                "abs_error": float(err.mean()),
+                "rel_error": float(err_rel.mean()),
+                "seconds": dt / len(group),
+                "stopped_at": int(np.asarray(hist_b.stopped_at)[b]),
+            })
+        log.info(f"Batch of {len(group)} scenes: {dt:.2f}s "
+                 f"({dt / len(group):.3f} s/scene)")
+
+    n = max(len(results), 1)
+    log.info(f"Training completed. {len(results)} scenes, "
+             f"{total / n:.3f} s/scene mean")
+    with open(os.path.join(output_dir, "train_summary.json"), "w") as f:
+        json.dump({"scenes": results,
+                   "mean_seconds_per_scene": total / n}, f, indent=2)
     print("Training completed.")
     return results
 

@@ -132,7 +132,8 @@ class SceneTrainer:
             else:
                 renderer = "dense"
         self.renderer = renderer
-        self._prepare, self._segment = self._build_run()
+        (self._prepare, self._segment,
+         self._prepare_b, self._segment_b) = self._build_run()
 
     # ------------------------------------------------------------------
     def _view_loss_dense(self, params, cam, gt_heatmaps_v, pose_2d_v):
@@ -253,8 +254,12 @@ class SceneTrainer:
                 macro_step, carry, k0 + jnp.arange(n_macro))
             return carry, recs
 
-        return (jax.jit(prepare),
-                jax.jit(segment, static_argnums=(7,)))
+        prepare_b = jax.vmap(prepare)
+        segment_b = jax.vmap(segment,
+                             in_axes=(0, 0, 0, 0, 0, 0, None, None))
+        return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
+                jax.jit(prepare_b),
+                jax.jit(lambda *a: segment_b(*a), static_argnums=(7,)))
 
     # ------------------------------------------------------------------
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
@@ -325,3 +330,43 @@ class SceneTrainer:
             losses=losses_k, error=err_k, error_rel=err_rel_k,
             stopped_at=jnp.max(stop_marks))
         return params, history
+
+    # ------------------------------------------------------------------
+    def optimize_scene_batch(self, initial_b, poses_2d_b, cameras_b: Camera,
+                             pose_3d_gt_b=None):
+        """Batched twin of optimize_scene: vmaps the whole optimization over
+        a leading scene axis on ONE device. Scenes are fully independent
+        (SURVEY §2.5), so batching them amortizes the per-macro-step fixed
+        costs and hands the fused kernels B× more parallel grid work — the
+        throughput path for the 2,181-scene H36M sweep (the per-scene path
+        remains the latency/parity reference). All scenes must share
+        (V, N, W, H); checkpoints/noise/dropout are per-scene-path features.
+
+        cameras_b: Camera pytree with leading (B, V) axes. Returns
+        (params with leading B, MacroHistory with leading B).
+        """
+        initial_b = jnp.asarray(np.asarray(initial_b, dtype=np.float32))
+        poses_2d_b = jnp.asarray(
+            np.asarray(poses_2d_b)[..., :2], dtype=jnp.float32)
+        B, nviews, n = poses_2d_b.shape[:3]
+        if pose_3d_gt_b is None:
+            pose_3d_gt_b = jnp.zeros_like(initial_b)
+        else:
+            pose_3d_gt_b = jnp.asarray(
+                np.asarray(pose_3d_gt_b, dtype=np.float32))
+        cameras_b = jax.tree.map(jnp.asarray, cameras_b)
+        extent_b = jnp.asarray(
+            [cameras_extent(jax.tree.map(lambda x: x[b], cameras_b))
+             for b in range(B)], jnp.float32)
+        drop_b = jnp.zeros((B, nviews, n), dtype=bool)
+
+        carry, view_aux = self._prepare_b(initial_b, poses_2d_b, cameras_b,
+                                          drop_b)
+        carry, recs = self._segment_b(
+            carry, view_aux, poses_2d_b, cameras_b, pose_3d_gt_b, extent_b,
+            jnp.asarray(0, jnp.int32), self.n_macro)
+        losses_k, err_k, err_rel_k, stop_marks = recs
+        history = MacroHistory(
+            losses=losses_k, error=err_k, error_rel=err_rel_k,
+            stopped_at=jnp.max(stop_marks, axis=1))
+        return carry[0], history

@@ -216,3 +216,24 @@ def test_consistency_loss_symmetrizes_limbs(scene):
         return abs(d(12, 13) - d(15, 16)) + abs(d(5, 6) - d(2, 3))
 
     assert asym(np.asarray(params.xyz)) < asym(init)
+
+
+def test_batched_scene_trainer_matches_single(scene):
+    """optimize_scene_batch must be bitwise-equal to per-scene runs."""
+    import jax
+    cams, gt, p2d, init = scene
+    rng = np.random.default_rng(11)
+    inits = np.stack([init, init + rng.normal(0, 30, init.shape)
+                      .astype(np.float32)])
+    gts = np.stack([gt, gt])
+    p2ds = np.stack([p2d, p2d])
+    cams_b = jax.tree.map(lambda x: np.stack([x, x]), cams)
+    tr = SceneTrainer(_model(), OptConfig(iterations=16), TrainSettings(),
+                      W, H, renderer="fused")
+    pb, hb = tr.optimize_scene_batch(inits, p2ds, cams_b, gts)
+    for b in range(2):
+        p1, h1 = tr.optimize_scene(inits[b], p2ds[b], cams, gts[b])
+        np.testing.assert_array_equal(np.asarray(pb.xyz)[b],
+                                      np.asarray(p1.xyz))
+        np.testing.assert_array_equal(np.asarray(hb.losses)[b],
+                                      np.asarray(h1.losses))

@@ -1,0 +1,75 @@
+"""Seeded end-to-end regression (SURVEY §4 item 4): the deterministic
+synthetic-scene optimization must reproduce golden telemetry across
+refactors. Values recorded on the CPU backend with f32 math; the tolerance
+absorbs BLAS/fusion reordering, not behavioral drift."""
+
+import numpy as np
+import pytest
+
+from skelsplat_tpu.core.gaussians import SkeletonModel
+from skelsplat_tpu.engine.optim import OptConfig
+from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
+from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, project_np
+
+GOLDEN_MPJPE = 52.55567169189453
+GOLDEN_LOSS = 0.04517656937241554
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cams, _, _ = synthetic_rig(n_views=4, width=112, height=96)
+    rng = np.random.default_rng(3)
+    gt = synthetic_skeleton(17, rng=rng, spread=300.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(4)]).astype(np.float32)
+    init = gt + rng.normal(0, 50, gt.shape).astype(np.float32)
+    return cams, gt, p2d, init
+
+
+@pytest.mark.parametrize("renderer", ["fused", "pallas"])
+def test_seeded_end_to_end_golden(scene, renderer):
+    cams, gt, p2d, init = scene
+    tr = SceneTrainer(SkeletonModel("h36m", 17, scaling=3.0),
+                      OptConfig(iterations=100), TrainSettings(),
+                      112, 96, renderer=renderer)
+    params, hist = tr.optimize_scene(init, p2d, cams, gt)
+    mpjpe = float(np.asarray(hist.error)[-1].mean())
+    loss = float(np.asarray(hist.losses)[-1].mean())
+    assert abs(mpjpe - GOLDEN_MPJPE) < 0.05, mpjpe
+    assert abs(loss - GOLDEN_LOSS) < 1e-4, loss
+
+
+def test_render_functions_registry(scene):
+    from skelsplat_tpu.engine.trainer import init_params_jnp
+    from skelsplat_tpu.renderer_registry import render_functions
+
+    cams, gt, p2d, init = scene
+    import jax
+    import jax.numpy as jnp
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    params = init_params_jnp(jnp.asarray(init), "h36m", 3.0, 1.0)
+    out = render_functions["diff-gaussian-rasterization-h36m"](cam, params)
+    assert out["render"].shape == (17, 96, 112)
+    assert float(out["render"].max()) <= 1.0
+    with pytest.raises(ValueError):
+        render_functions["diff-gaussian-rasterization-panoptic"](cam, params)
+
+
+def test_legacy_arguments_groups():
+    from argparse import ArgumentParser
+
+    from skelsplat_tpu.arguments import (ModelParams, OptimizationParams,
+                                         PipelineParams)
+
+    parser = ArgumentParser()
+    mp = ModelParams(parser)
+    pp = PipelineParams(parser)
+    op = OptimizationParams(parser)
+    args = parser.parse_args(["--source_path", "/x", "-r", "2",
+                              "--iterations", "100"])
+    g = mp.extract(args)
+    assert g.source_path == "/x" and g.resolution == 2
+    g2 = op.extract(args)
+    assert g2.iterations == 100 and g2.scaling_lr == 0.005
+    g3 = pp.extract(args)
+    assert g3.antialiasing is False
