@@ -106,22 +106,25 @@ def get_panoptic_camera(data_root: str, activity: str, camera: str) -> CameraInf
             break
     else:
         raise KeyError(f"camera {camera} not in calibration_{activity}.json")
+    # real Panoptic is fixed 1920x1080; synthetic calibrations may override
+    width, height = cal.get("image_size", (1920, 1080))
     return CameraInfo(uid=PANOPTIC_CAMERAS.index(camera),
                       R=_quat_roundtrip_transpose(R), T=T.reshape(3),
-                      K=K.copy(), width=1920, height=1080)
+                      K=K.copy(), width=width, height=height)
 
 
 def get_occlusion_person_camera(camera_data: dict, scene_id: int,
                                 cam: int) -> CameraInfo:
     """dataset_readers.py:336-378 (t = −R·T, plain transpose on R)."""
     camera = camera_data[str(scene_id)][cam]
+    width, height = camera.get("image_size", (1280, 720))
     K = np.array([[camera["fx"], 0, camera["cx"]],
                   [0, camera["fy"], camera["cy"]],
                   [0, 0, 1]], dtype=np.float64)
     R = np.array(camera["R"], dtype=np.float64).reshape(3, 3)
     T = -R @ np.array(camera["T"], dtype=np.float64).reshape(3, 1)
     return CameraInfo(uid=cam, R=np.transpose(R), T=T.reshape(3), K=K,
-                      width=1280, height=720)
+                      width=width, height=height)
 
 
 def camera_to_json(idx: int, cam: CameraInfo) -> dict:

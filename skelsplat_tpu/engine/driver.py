@@ -135,6 +135,11 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     if pipe.rendering not in RENDERING_CHANNELS:
         raise SystemExit(f"unknown rendering {pipe.rendering!r}")
 
+    if bool(getattr(pipe, "debug", False)):
+        # TPU analogue of the reference's CHECK_CUDA debug mode
+        # (auxiliary.h:178-185): fail fast on NaNs from any jitted program.
+        jax.config.update("jax_debug_nans", True)
+
     tb_writer = _prepare_tb(output_dir)
     scene_type = scene_type_of(dataset.data_root)
     model = SkeletonModel(
@@ -189,6 +194,20 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         trainer = trainers[key]
 
         _save_scene_artifacts(output_dir, record)
+
+        if debug.save_images and not results:
+            # GT heatmap PNG dump for the first scene (train.py:113-114)
+            import jax.numpy as jnp
+            from skelsplat_tpu.engine.trainer import init_params_jnp
+            from skelsplat_tpu.ops import heatmaps as hm_ops
+            p0 = init_params_jnp(jnp.asarray(record.pose_3d),
+                                 model.scene_type, model.scaling,
+                                 model.scaling_modifier)
+            spec0 = hm_ops.heatmap_spec(
+                p0.xyz, p0.covariance(),
+                jnp.asarray(record.poses_2d[..., :2]),
+                jax.tree.map(jnp.asarray, cameras), W, H)
+            _save_heatmaps(hm_ops.eval_heatmaps(spec0, W, H), output_dir)
 
         def save_ply_at(iteration, params, _name=record.scene_name):
             path = os.path.join(output_dir, "point_cloud",
