@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure same-chip scene batching at this "
                          "batch size (throughput mode)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed frame "
+                         "into DIR (view with tensorboard/xprof)")
     args = ap.parse_args(argv)
 
     import jax
@@ -71,6 +74,13 @@ def main(argv=None):
               + ("  (compile+run)" if s == 0 else ""), file=sys.stderr)
 
     value = float(np.mean(times))
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            params, hist = trainer.optimize_scene(init[1], p2d[1], cams_b,
+                                                  gt[1])
+            jax.block_until_ready(params.xyz)
+        print(f"trace written to {args.profile}", file=sys.stderr)
 
     if args.batch > 1:
         B = args.batch

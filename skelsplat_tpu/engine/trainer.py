@@ -183,9 +183,13 @@ class SceneTrainer:
                 view_aux = spec
             opt_state = self.adam.init(params)
             nviews = poses_2d.shape[0]
-            carry = (params, opt_state,
-                     jnp.full((nviews,), jnp.inf, jnp.float32),
-                     jnp.asarray(False))
+            inf = jnp.full((nviews,), jnp.inf, jnp.float32)
+            if use_stop:
+                carry = (params, opt_state, inf, inf,
+                         jnp.zeros((nviews,) + params.xyz.shape, jnp.float32),
+                         jnp.asarray(False))
+            else:
+                carry = (params, opt_state, inf, jnp.asarray(False))
             return carry, view_aux
 
         def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
@@ -213,18 +217,66 @@ class SceneTrainer:
                     p, cameras, view_aux, poses_2d)
 
             def macro_step(carry, k):
-                params, opt_state, prev_losses, stopped = carry
+                if use_stop:
+                    (params, opt_state, prev1, prev2, prev_gx,
+                     stopped) = carry
+                else:
+                    params, opt_state, prev1, stopped = carry
                 losses_v, grads_v = per_view_grads(params)
 
-                # view fusion (train.py:175-179, 215-218): mean for xyz,
-                # last view only for the other groups.
-                grads = GaussianParams(
-                    xyz=jnp.mean(grads_v.xyz, axis=0),
-                    log_scales=grads_v.log_scales[nviews - 1],
-                    quats=grads_v.quats[nviews - 1],
-                    opacity_logit=grads_v.opacity_logit[nviews - 1],
-                )
-                iteration = (k + 1) * V_accum
+                if use_stop and nviews == 4 and V_accum == 4:
+                    # Exact OptEarlyStopping (general_utils.py:467-491): the
+                    # per-iteration loss history is [L_1[0..3], L_2[0..3],…]
+                    # (params constant within a macro step), so each window
+                    # check at inner iteration 4k+m compares slices of the
+                    # current / previous / twice-previous macro's view
+                    # losses. A mid-macro stop steps with the reference's
+                    # mixed gradients: rows < m from this macro, the rest
+                    # STALE from the previous one (train.py:121,175,215 —
+                    # accumulated_grads is never zeroed).
+                    k1 = k + 1   # 1-based macro index
+                    d_cur = jnp.abs(losses_v - prev1) < REPEAT_TOL
+                    d_prev = jnp.abs(prev1 - prev2) < REPEAT_TOL
+                    idx = jnp.arange(nviews)
+                    conds = []
+                    for m in range(1, 5):
+                        c = (jnp.all(jnp.where(idx < m, d_cur, True))
+                             & jnp.all(jnp.where(idx >= m, d_prev, True)))
+                        gate = (k1 >= 2) if m == 4 else (k1 >= 3)
+                        conds.append(c & gate)
+                    conds = jnp.stack(conds)
+                    stop_now = jnp.any(conds)
+                    m_star = jnp.where(stop_now,
+                                       jnp.argmax(conds) + 1, nviews)
+                    row_new = idx[:, None, None] < m_star
+                    gx_used = jnp.where(row_new, grads_v.xyz, prev_gx)
+                    g_xyz = jnp.mean(gx_used, axis=0)
+                    oidx = m_star - 1        # == nviews-1 when not stopping
+                    grads = GaussianParams(
+                        xyz=g_xyz,
+                        log_scales=grads_v.log_scales[oidx],
+                        quats=grads_v.quats[oidx],
+                        opacity_logit=grads_v.opacity_logit[oidx],
+                    )
+                    iteration = k * V_accum + m_star
+                else:
+                    # view fusion (train.py:175-179, 215-218): mean for xyz,
+                    # last view only for the other groups.
+                    grads = GaussianParams(
+                        xyz=jnp.mean(grads_v.xyz, axis=0),
+                        log_scales=grads_v.log_scales[nviews - 1],
+                        quats=grads_v.quats[nviews - 1],
+                        opacity_logit=grads_v.opacity_logit[nviews - 1],
+                    )
+                    iteration = (k + 1) * V_accum
+                    if use_stop:
+                        # non-standard view counts: macro-boundary
+                        # approximation of the window check
+                        stop_now = jnp.all(
+                            jnp.abs(losses_v - prev1) < REPEAT_TOL) & (k > 0)
+                    else:
+                        stop_now = jnp.asarray(False)
+
                 new_params, new_opt = self.adam.step(
                     params, grads, opt_state, iteration, spatial_lr_scale)
 
@@ -232,13 +284,6 @@ class SceneTrainer:
                 sel = lambda a, b: jnp.where(apply, a, b)
                 params2 = jax.tree.map(sel, new_params, params)
                 opt2 = jax.tree.map(sel, new_opt, opt_state)
-
-                if use_stop:
-                    stop_now = jnp.all(
-                        jnp.abs(losses_v - prev_losses) < REPEAT_TOL
-                    ) & (k > 0)
-                else:
-                    stop_now = jnp.asarray(False)
                 stopped2 = stopped | (stop_now & apply)
 
                 # telemetry (train.py:184-205)
@@ -248,7 +293,12 @@ class SceneTrainer:
                     (pred - pred[0]) - (pose_3d_gt - pose_3d_gt[0]), axis=1)
                 rec = (losses_v, err, err_rel,
                        jnp.where(stop_now & apply, iteration, 0))
-                return (params2, opt2, losses_v, stopped2), rec
+                if use_stop:
+                    new_carry = (params2, opt2, losses_v, prev1,
+                                 grads_v.xyz, stopped2)
+                else:
+                    new_carry = (params2, opt2, losses_v, stopped2)
+                return new_carry, rec
 
             carry, recs = jax.lax.scan(
                 macro_step, carry, k0 + jnp.arange(n_macro))
