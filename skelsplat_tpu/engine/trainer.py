@@ -49,6 +49,34 @@ from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
 REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
 
 
+def stop_offset(cur, prev1, prev2, k1, tol):
+    """First inner-iteration offset m ∈ {1..4} at which OptEarlyStopping's
+    8-loss window check (general_utils.py:474-491) fires during macro step
+    k1 (1-based), given the per-view losses of the current and two previous
+    macro steps; returns (stop_now, m_star) with m_star = nviews when no
+    stop (so the gradient-composition indices reduce to the normal case).
+
+    At inner iteration 4(k1−1)+m the history suffix is
+    [prev1[m:], cur[:m]] + [prev2[m:], prev1[:m]] — windows align so the
+    check is elementwise closeness of (cur[:m] vs prev1[:m]) and
+    (prev1[m:] vs prev2[m:]).
+    """
+    nviews = cur.shape[0]
+    d_cur = jnp.abs(cur - prev1) < tol
+    d_prev = jnp.abs(prev1 - prev2) < tol
+    idx = jnp.arange(nviews)
+    conds = []
+    for m in range(1, nviews + 1):
+        c = (jnp.all(jnp.where(idx < m, d_cur, True))
+             & jnp.all(jnp.where(idx >= m, d_prev, True)))
+        gate = (k1 >= 2) if m == nviews else (k1 >= 3)
+        conds.append(c & gate)
+    conds = jnp.stack(conds)
+    stop_now = jnp.any(conds)
+    m_star = jnp.where(stop_now, jnp.argmax(conds) + 1, nviews)
+    return stop_now, m_star
+
+
 def cameras_extent(cameras: Camera) -> float:
     """The per-scene spatial LR scale: 1.1 × max distance of the camera
     centers from their centroid (getNerfppNorm, dataset_readers.py:482-503 →
@@ -234,20 +262,9 @@ class SceneTrainer:
                     # mixed gradients: rows < m from this macro, the rest
                     # STALE from the previous one (train.py:121,175,215 —
                     # accumulated_grads is never zeroed).
-                    k1 = k + 1   # 1-based macro index
-                    d_cur = jnp.abs(losses_v - prev1) < REPEAT_TOL
-                    d_prev = jnp.abs(prev1 - prev2) < REPEAT_TOL
+                    stop_now, m_star = stop_offset(
+                        losses_v, prev1, prev2, k + 1, REPEAT_TOL)
                     idx = jnp.arange(nviews)
-                    conds = []
-                    for m in range(1, 5):
-                        c = (jnp.all(jnp.where(idx < m, d_cur, True))
-                             & jnp.all(jnp.where(idx >= m, d_prev, True)))
-                        gate = (k1 >= 2) if m == 4 else (k1 >= 3)
-                        conds.append(c & gate)
-                    conds = jnp.stack(conds)
-                    stop_now = jnp.any(conds)
-                    m_star = jnp.where(stop_now,
-                                       jnp.argmax(conds) + 1, nviews)
                     row_new = idx[:, None, None] < m_star
                     gx_used = jnp.where(row_new, grads_v.xyz, prev_gx)
                     g_xyz = jnp.mean(gx_used, axis=0)

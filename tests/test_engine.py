@@ -237,3 +237,143 @@ def test_batched_scene_trainer_matches_single(scene):
                                       np.asarray(p1.xyz))
         np.testing.assert_array_equal(np.asarray(hb.losses)[b],
                                       np.asarray(h1.losses))
+
+
+def _reference_loop_with_stop(cams, p2d, init, iters, opt_cfg, model,
+                              tol=1e-6):
+    """_reference_loop + the literal OptEarlyStopping / mid-macro stop
+    semantics of train.py:130-233 and general_utils.py:467-491."""
+    settings = TrainSettings()
+    params = init_params_jnp(jnp.asarray(init), model.scene_type,
+                             model.scaling, model.scaling_modifier)
+    cov6 = params.covariance()
+    spec = heatmaps.heatmap_spec(params.xyz, cov6, jnp.asarray(p2d), cams,
+                                 W, H)
+    gt_hm = heatmaps.eval_heatmaps(spec, W, H)
+    camsj = jax.tree.map(jnp.asarray, cams)
+
+    def view_loss(p, v):
+        cam = take_cam(camsj, v)
+        out = rasterizer.render(p, cam, W, H)
+        main, _ = L.l2_loss_gaussian(out["render"], gt_hm[v], p2d[v, :, :2])
+        cons = L.limb_3d_consistency_loss(p.xyz, "h36m")
+        return main + cons * settings.lambda_consistency
+
+    grad_fns = [jax.jit(jax.value_and_grad(lambda p, v=v: view_loss(p, v)))
+                for v in range(NV)]
+    adam = AdamGroups(opt_cfg)
+    ext = cameras_extent(jax.tree.map(jnp.asarray, cams))
+    m = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    v_ = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    t = 0
+    accum = np.zeros((NV, N_J, 3), np.float32)
+    history = []
+    p = params
+    stop_iter = 0
+    for it in range(1, iters + 1):
+        vidx = (it - 1) % NV
+        lv, g = grad_fns[vidx](p)
+        history.append(float(lv))
+        stop = False
+        if len(history) >= 8:
+            w1 = np.array(history[-8:-4])
+            w2 = np.array(history[-4:])
+            stop = bool(np.all(np.abs(w1 - w2) < tol))
+        accum[vidx] = np.asarray(g.xyz)
+        last = g
+        if it % 4 == 0 or stop:
+            t += 1
+            grads = {"xyz": accum.mean(axis=0),
+                     "log_scales": np.asarray(last.log_scales),
+                     "quats": np.asarray(last.quats),
+                     "opacity_logit": np.asarray(last.opacity_logit)}
+            lrs = {"xyz": float(adam.xyz_lr(it, ext)),
+                   "log_scales": opt_cfg.scaling_lr,
+                   "quats": opt_cfg.rotation_lr,
+                   "opacity_logit": opt_cfg.opacity_lr}
+            newvals = {}
+            for name in grads:
+                g_ = grads[name]
+                m_ = BETA1 * getattr(m, name) + (1 - BETA1) * g_
+                vv = BETA2 * getattr(v_, name) + (1 - BETA2) * g_ * g_
+                m = dataclasses.replace(m, **{name: m_})
+                v_ = dataclasses.replace(v_, **{name: vv})
+                mh = m_ / (1 - BETA1 ** t)
+                vh = vv / (1 - BETA2 ** t)
+                newvals[name] = (np.asarray(getattr(p, name))
+                                 - lrs[name] * mh / (np.sqrt(vh) + EPS))
+            p = dataclasses.replace(
+                p, **{k: jnp.asarray(x) for k, x in newvals.items()})
+        if stop:
+            stop_iter = it
+            break
+    return p, stop_iter
+
+
+def test_exact_early_stopping_matches_reference_loop(scene):
+    """Force a mid-macro stop (huge tolerance makes the window check fire at
+    the earliest gated iteration) and verify the mixed-stale-gradient stop
+    step matches the literal reference loop, stop iteration included."""
+    import skelsplat_tpu.engine.trainer as trainer_mod
+    cams, gt, p2d, init = scene
+    model = _model()
+    opt_cfg = OptConfig(iterations=40)
+
+    old_tol = trainer_mod.REPEAT_TOL
+    trainer_mod.REPEAT_TOL = 1e6  # every window "repeats"
+    try:
+        tr = SceneTrainer(model, opt_cfg,
+                          TrainSettings(early_stopping="opt_early_stopping"),
+                          W, H, renderer="fused")
+        params, hist = tr.optimize_scene(init, p2d, cams, gt)
+    finally:
+        trainer_mod.REPEAT_TOL = old_tol
+    ref_p, ref_stop = _reference_loop_with_stop(cams, p2d, init, 40,
+                                                opt_cfg, model, tol=1e6)
+    assert ref_stop == 8  # earliest possible (history needs 8 entries)
+    assert int(hist.stopped_at) == ref_stop
+    np.testing.assert_allclose(np.asarray(params.xyz), np.asarray(ref_p.xyz),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params.log_scales),
+                               np.asarray(ref_p.log_scales),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stop_offset_matches_history_simulation(rng):
+    """Fuzz the window logic against a literal OptEarlyStopping history
+    simulation across random loss sequences — covers every straddle offset."""
+    from skelsplat_tpu.engine.trainer import stop_offset
+
+    tol = 0.1
+    for trial in range(200):
+        n_macro = 5
+        # random per-view losses with frequent repeats to trigger stops
+        losses = rng.choice([0.5, 0.50001, 0.7, 0.9],
+                            size=(n_macro, 4)).astype(np.float64)
+        # literal simulation: iterate inner iterations, keep history
+        history = []
+        ref = None
+        for k1 in range(1, n_macro + 1):
+            for m in range(1, 5):
+                history.append(losses[k1 - 1, m - 1])
+                if len(history) >= 8:
+                    w1 = np.array(history[-8:-4])
+                    w2 = np.array(history[-4:])
+                    if np.all(np.abs(w1 - w2) < tol):
+                        ref = (k1, m)
+                        break
+            if ref:
+                break
+        # scan-version: evaluate per macro step
+        ours = None
+        inf = np.full(4, np.inf)
+        for k1 in range(1, n_macro + 1):
+            cur = losses[k1 - 1]
+            prev1 = losses[k1 - 2] if k1 >= 2 else inf
+            prev2 = losses[k1 - 3] if k1 >= 3 else inf
+            stop, m_star = stop_offset(jnp.asarray(cur), jnp.asarray(prev1),
+                                       jnp.asarray(prev2), k1, tol)
+            if bool(stop):
+                ours = (k1, int(m_star))
+                break
+        assert ours == ref, f"trial {trial}: ours {ours} vs ref {ref}"
