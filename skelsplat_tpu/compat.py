@@ -16,7 +16,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from skelsplat_tpu.core import geometry
 from skelsplat_tpu.core.gaussians import (GaussianParams, init_params,
                                           one_hot_features)
 from skelsplat_tpu.data import ply

@@ -349,6 +349,33 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1 - x))
 
 
+def strip_symmetric(sym: jnp.ndarray) -> jnp.ndarray:
+    """(…,3,3) symmetric matrix → (…,6) packed upper triangle
+    (utils/general_utils.py:73-85, strip_lowerdiag/strip_symmetric)."""
+    return jnp.stack(
+        [sym[..., 0, 0], sym[..., 0, 1], sym[..., 0, 2],
+         sym[..., 1, 1], sym[..., 1, 2], sym[..., 2, 2]], axis=-1)
+
+
+strip_lowerdiag = strip_symmetric
+
+
+def build_scaling_rotation(s: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """L = R·diag(s) (utils/general_utils.py:110-119)."""
+    return quat_to_rotmat(r) * s[..., None, :]
+
+
+def geom_transform_points(points: jnp.ndarray,
+                          transf_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous point transform with the reference's transposed-matrix
+    convention and 1e-7-regularized divide (graphics_utils.py:22-29;
+    vestigial)."""
+    ones = jnp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+    hom = jnp.concatenate([points, ones], axis=-1)
+    out = MM(hom, transf_matrix)
+    return out[..., :3] / (out[..., 3:] + 1e-7)
+
+
 def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
              lr_delay_mult: float = 1.0, max_steps: int = 1000000):
     """Log-linear LR decay with optional sine warm-delay

@@ -284,8 +284,6 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
                       tb_writer, log):
     """Throughput scene loop: group same-shape scenes into vmapped batches
     (bitwise-identical per-scene results; see tests)."""
-    import itertools
-
     records = [rec for _, rec in dataset_loader]
     results = []
     trainers: dict[tuple, SceneTrainer] = {}

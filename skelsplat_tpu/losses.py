@@ -220,3 +220,13 @@ consistency_losses = {
     "3D_length_consistency": limb_3d_consistency_loss,
     "none": no_consistency,
 }
+
+
+def __getattr__(name):
+    # early_stopping_strategy lives with the engine but is re-exported here
+    # to mirror utils/__init__.py:10-34's single registry module (lazy to
+    # avoid an import cycle).
+    if name == "early_stopping_strategy":
+        from skelsplat_tpu.engine.early_stopping import early_stopping_strategy
+        return early_stopping_strategy
+    raise AttributeError(name)

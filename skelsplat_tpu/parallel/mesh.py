@@ -24,15 +24,12 @@ same program runs on a real pod slice or on a host-platform CPU mesh
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from skelsplat_tpu.core.gaussians import GaussianParams
-from skelsplat_tpu.engine.optim import AdamGroups
 from skelsplat_tpu.engine.trainer import (SceneTrainer, cameras_extent,
                                           init_params_jnp)
 from skelsplat_tpu.ops import heatmaps as hm
