@@ -210,13 +210,18 @@ class SceneTrainer:
                 view_aux = spec
             opt_state = self.adam.init(params)
             nviews = poses_2d.shape[0]
-            inf = jnp.full((nviews,), jnp.inf, jnp.float32)
+            general = V_accum != nviews
+            n_loss = V_accum if general else nviews
+            inf = jnp.full((n_loss,), jnp.inf, jnp.float32)
+            acc0 = (jnp.zeros((nviews,) + params.xyz.shape, jnp.float32),) \
+                if general else ()
             if use_stop:
                 carry = (params, opt_state, inf, inf,
-                         jnp.zeros((nviews,) + params.xyz.shape, jnp.float32),
-                         jnp.asarray(False))
+                         jnp.zeros((n_loss,) + params.xyz.shape,
+                                   jnp.float32),
+                         jnp.asarray(False)) + acc0
             else:
-                carry = (params, opt_state, inf, jnp.asarray(False))
+                carry = (params, opt_state, inf, jnp.asarray(False)) + acc0
             return carry, view_aux
 
         def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
@@ -238,20 +243,43 @@ class SceneTrainer:
                     self.antialiasing)
                 view_loss = lambda p, cam, s, p2: fused(p, cam, s, p2)
 
-            def per_view_grads(p):
+            general = V_accum != nviews
+
+            def per_view_grads(p, idxs=None):
                 f = jax.value_and_grad(view_loss)
+                cams_k, aux_k, p2_k = cameras, view_aux, poses_2d
+                if idxs is not None:
+                    take = lambda x: jnp.take(x, idxs, axis=0)
+                    cams_k = jax.tree.map(take, cameras)
+                    aux_k = jax.tree.map(take, view_aux)
+                    p2_k = jnp.take(poses_2d, idxs, axis=0)
                 return jax.vmap(f, in_axes=(None, 0, 0, 0))(
-                    p, cameras, view_aux, poses_2d)
+                    p, cams_k, aux_k, p2_k)
 
             def macro_step(carry, k):
+                acc_gx = None
+                if general:
+                    carry, acc_gx = carry[:-1], carry[-1]
                 if use_stop:
                     (params, opt_state, prev1, prev2, prev_gx,
                      stopped) = carry
                 else:
                     params, opt_state, prev1, stopped = carry
-                losses_v, grads_v = per_view_grads(params)
 
-                if use_stop and nviews == 4 and V_accum == 4:
+                if general:
+                    # accumulation window ≠ view count: the reference's
+                    # round-robin visits views (k·A+j) mod V during macro k
+                    # and steps with the PERSISTENT accumulated_grads rows —
+                    # unvisited views contribute their stale (or zero-init)
+                    # gradients (train.py:121,136,175,215).
+                    idxs = (k * V_accum
+                            + jnp.arange(V_accum, dtype=jnp.int32)) % nviews
+                    losses_v, grads_v = per_view_grads(params, idxs)
+                    acc_gx = acc_gx.at[idxs].set(grads_v.xyz)
+                else:
+                    losses_v, grads_v = per_view_grads(params)
+
+                if use_stop and nviews == 4 and V_accum == 4 and not general:
                     # Exact OptEarlyStopping (general_utils.py:467-491): the
                     # per-iteration loss history is [L_1[0..3], L_2[0..3],…]
                     # (params constant within a macro step), so each window
@@ -277,12 +305,18 @@ class SceneTrainer:
                     iteration = k * V_accum + m_star
                 else:
                     # view fusion (train.py:175-179, 215-218): mean for xyz,
-                    # last view only for the other groups.
+                    # last rendered view for the other groups.
+                    if general:
+                        g_xyz = jnp.mean(acc_gx, axis=0)
+                        last = V_accum - 1
+                    else:
+                        g_xyz = jnp.mean(grads_v.xyz, axis=0)
+                        last = nviews - 1
                     grads = GaussianParams(
-                        xyz=jnp.mean(grads_v.xyz, axis=0),
-                        log_scales=grads_v.log_scales[nviews - 1],
-                        quats=grads_v.quats[nviews - 1],
-                        opacity_logit=grads_v.opacity_logit[nviews - 1],
+                        xyz=g_xyz,
+                        log_scales=grads_v.log_scales[last],
+                        quats=grads_v.quats[last],
+                        opacity_logit=grads_v.opacity_logit[last],
                     )
                     iteration = (k + 1) * V_accum
                     if use_stop:
@@ -314,6 +348,8 @@ class SceneTrainer:
                                  grads_v.xyz, stopped2)
                 else:
                     new_carry = (params2, opt2, losses_v, stopped2)
+                if general:
+                    new_carry = new_carry + (acc_gx,)
                 return new_carry, rec
 
             carry, recs = jax.lax.scan(

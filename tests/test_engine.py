@@ -377,3 +377,78 @@ def test_stop_offset_matches_history_simulation(rng):
                 ours = (k1, int(m_star))
                 break
         assert ours == ref, f"trial {trial}: ours {ours} vs ref {ref}"
+
+
+def test_general_accumulation_matches_reference_loop():
+    """nviews=6, accumulation_steps=4: the reference round-robins subsets of
+    views per optimizer step with persistent accumulated_grads rows. The
+    generalized trainer must match the literal loop."""
+    NV6 = 6
+    cams6, _, _ = synthetic_rig(n_views=NV6, width=W, height=H)
+    rng = np.random.default_rng(7)
+    gt = synthetic_skeleton(N_J, rng=rng, spread=300.0)
+    p2d = np.stack([project_np(gt, take_cam(cams6, v))
+                    for v in range(NV6)]).astype(np.float32)
+    init = gt + rng.normal(0, 40, gt.shape).astype(np.float32)
+    model = _model()
+    iters = 12
+    opt_cfg = OptConfig(iterations=iters)
+    settings = TrainSettings()  # accumulation_steps=4
+
+    # ---- literal reference loop (train.py:116-233) with V=6, accum=4 ----
+    params = init_params_jnp(jnp.asarray(init), "h36m", 3.0, 1.0)
+    spec = heatmaps.heatmap_spec(params.xyz, params.covariance(),
+                                 jnp.asarray(p2d), cams6, W, H)
+    gt_hm = heatmaps.eval_heatmaps(spec, W, H)
+    camsj = jax.tree.map(jnp.asarray, cams6)
+
+    def view_loss(p, v):
+        cam = take_cam(camsj, v)
+        out = rasterizer.render(p, cam, W, H)
+        main, _ = L.l2_loss_gaussian(out["render"], gt_hm[v], p2d[v, :, :2])
+        return main + L.limb_3d_consistency_loss(p.xyz, "h36m") * 1e-5
+
+    grad_fns = [jax.jit(jax.grad(lambda p, v=v: view_loss(p, v)))
+                for v in range(NV6)]
+    adam = AdamGroups(opt_cfg)
+    ext = cameras_extent(camsj)
+    m = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    v_ = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    t = 0
+    accum = np.zeros((NV6, N_J, 3), np.float32)
+    p = params
+    for it in range(1, iters + 1):
+        vidx = (it - 1) % NV6
+        g = grad_fns[vidx](p)
+        accum[vidx] = np.asarray(g.xyz)
+        last = g
+        if it % settings.accumulation_steps == 0:
+            t += 1
+            grads = {"xyz": accum.mean(axis=0),
+                     "log_scales": np.asarray(last.log_scales),
+                     "quats": np.asarray(last.quats),
+                     "opacity_logit": np.asarray(last.opacity_logit)}
+            lrs = {"xyz": float(adam.xyz_lr(it, ext)),
+                   "log_scales": opt_cfg.scaling_lr,
+                   "quats": opt_cfg.rotation_lr,
+                   "opacity_logit": opt_cfg.opacity_lr}
+            newvals = {}
+            for name in grads:
+                g_ = grads[name]
+                m_ = BETA1 * getattr(m, name) + (1 - BETA1) * g_
+                vv = BETA2 * getattr(v_, name) + (1 - BETA2) * g_ * g_
+                m = dataclasses.replace(m, **{name: m_})
+                v_ = dataclasses.replace(v_, **{name: vv})
+                newvals[name] = (np.asarray(getattr(p, name))
+                                 - lrs[name] * (m_ / (1 - BETA1 ** t))
+                                 / (np.sqrt(vv / (1 - BETA2 ** t)) + EPS))
+            p = dataclasses.replace(
+                p, **{k: jnp.asarray(x) for k, x in newvals.items()})
+
+    tr = SceneTrainer(model, opt_cfg, settings, W, H, renderer="fused")
+    params2, hist = tr.optimize_scene(init, p2d, cams6, gt)
+    np.testing.assert_allclose(np.asarray(params2.xyz), np.asarray(p.xyz),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(params2.log_scales),
+                               np.asarray(p.log_scales),
+                               rtol=2e-5, atol=2e-5)
