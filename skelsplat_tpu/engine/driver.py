@@ -176,6 +176,11 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     log.info(f"Training on {len(dataset_loader)} scenes")
     total_opt_seconds = 0.0
 
+    multichip = bool(getattr(training_group, "multichip", False))
+    if multichip and len(jax.devices()) > 1 and batchable:
+        return _training_multichip(dataset, dataset_loader, model, opt_cfg,
+                                   settings, pipe, save_iterations,
+                                   output_dir, log)
     if batchable:
         return _training_batched(dataset, dataset_loader, model, opt_cfg,
                                  settings, pipe, debug, save_iterations,
@@ -358,6 +363,78 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
         log.info(f"Batch of {len(group)} scenes: {dt:.2f}s "
                  f"({dt / len(group):.3f} s/scene)")
 
+    n = max(len(results), 1)
+    log.info(f"Training completed. {len(results)} scenes, "
+             f"{total / n:.3f} s/scene mean")
+    with open(os.path.join(output_dir, "train_summary.json"), "w") as f:
+        json.dump({"scenes": results,
+                   "mean_seconds_per_scene": total / n}, f, indent=2)
+    print("Training completed.")
+    return results
+
+
+def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
+                        pipe, save_iterations, output_dir, log):
+    """Shard batches of scenes over a (scenes × views) device mesh
+    (training.multichip=true + training.scene_batch>1). Views split over
+    the 'views' axis when divisible; scenes over the rest of the devices."""
+    from skelsplat_tpu.parallel import make_mesh
+    from skelsplat_tpu.parallel.mesh import multichip_optimize
+
+    records = [rec for _, rec in dataset_loader]
+    n_dev = len(jax.devices())
+    nviews = len(records[0].cameras)
+    views_axis = nviews if n_dev % nviews == 0 else 1
+    scenes_axis = n_dev // views_axis
+    mesh = make_mesh(scenes_axis, views_axis)
+    log.info(f"multichip mesh: {dict(mesh.shape)}")
+
+    trainers = {}
+    results = []
+    total = 0.0
+    i = 0
+    while i < len(records):
+        group = records[i:i + scenes_axis]
+        # pad the tail group by repeating the last scene (extras discarded)
+        pad = scenes_axis - len(group)
+        group_p = group + [group[-1]] * pad
+        cams_list = [cameras_io.build_camera_batch(r.cameras)
+                     for r in group_p]
+        W = int(max(np.asarray(c.width).max() for c in cams_list))
+        H = int(max(np.asarray(c.height).max() for c in cams_list))
+        key = (W, H, nviews)
+        if key not in trainers:
+            trainers[key] = SceneTrainer(
+                model, opt_cfg, settings, W, H,
+                antialiasing=bool(pipe.antialiasing), renderer="fused")
+        trainer = trainers[key]
+        init_b = np.stack([r.pose_3d for r in group_p]).astype(np.float32)
+        p2d_b = np.stack([np.asarray(r.poses_2d, np.float32)[..., :2]
+                          for r in group_p])
+        cams_b = jax.tree.map(lambda *xs: np.stack(xs), *cams_list)
+        t0 = time.perf_counter()
+        params_b, losses = multichip_optimize(mesh, trainer, init_b, p2d_b,
+                                              cams_b)
+        jax.block_until_ready(params_b.xyz)
+        dt = time.perf_counter() - t0
+        total += dt
+        for b, rec in enumerate(group):
+            path = os.path.join(output_dir, "point_cloud",
+                                f"iteration_{opt_cfg.iterations}",
+                                f"{rec.scene_name}.ply")
+            ply.write_gaussian_ply(
+                path, np.asarray(params_b.xyz[b]),
+                np.asarray(params_b.log_scales[b]),
+                np.asarray(params_b.quats[b]),
+                np.asarray(params_b.opacity_logit[b]))
+            err = np.linalg.norm(np.asarray(params_b.xyz[b])
+                                 - rec.pose_3d_gt, axis=1)
+            results.append({
+                "scene_id": rec.scene_id, "scene_name": rec.scene_name,
+                "abs_error": float(err.mean()),
+                "seconds": dt / len(group)})
+        log.info(f"mesh batch of {len(group)}: {dt:.2f}s")
+        i += scenes_axis
     n = max(len(results), 1)
     log.info(f"Training completed. {len(results)} scenes, "
              f"{total / n:.3f} s/scene mean")

@@ -125,8 +125,14 @@ def heatmap_spec(xyz, cov6, poses_2d, cameras: Camera, W: int, H: int,
                   w_v - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.trunc(poses_2d[..., 1]), 0,
                   h_v - 1).astype(jnp.int32)
-    r1 = jnp.floor(TRUNCATE * sigma1 + 0.5).astype(jnp.int32)
-    r2 = jnp.floor(TRUNCATE * sigma2 + 0.5).astype(jnp.int32)
+    # static D_MAX bounds the jit-able truncation radius; σ beyond D_MAX/4
+    # (≈24 px, far outside this workload's splat sizes) would silently lose
+    # kernel mass, so clamp the radius and keep the normalization consistent
+    # with the clamped support.
+    r1 = jnp.minimum(jnp.floor(TRUNCATE * sigma1 + 0.5), D_MAX
+                     ).astype(jnp.int32)
+    r2 = jnp.minimum(jnp.floor(TRUNCATE * sigma2 + 0.5), D_MAX
+                     ).astype(jnp.int32)
     sum1 = _kernel_sum(sigma1, r1)
     sum2 = _kernel_sum(sigma2, r2)
 

@@ -158,6 +158,38 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
     return prepare, step
 
 
+def multichip_optimize(mesh: Mesh, trainer: SceneTrainer, initial_b,
+                       poses_2d_b, cams_b, gt_b=None):
+    """Full multi-chip scene optimization: prepare once, then lax.scan the
+    sharded macro step over all iterations — one dispatch for the whole
+    sharded batch. Scene batch size must equal mesh.shape['scenes'] and the
+    view count must split evenly over mesh.shape['views'].
+
+    Returns (params_b, losses (K, B, V_local·shards?) — per-view losses per
+    macro step, gathered)."""
+    initial_b = jnp.asarray(np.asarray(initial_b, np.float32))
+    poses_2d_b = jnp.asarray(np.asarray(poses_2d_b)[..., :2], jnp.float32)
+    cams_b = jax.tree.map(jnp.asarray, cams_b)
+    extent_b = jnp.asarray(scene_batch_extents(cams_b))
+    prepare, step = multichip_train_step(mesh, trainer)
+    params_b, opt_b, spec_b = prepare(initial_b, poses_2d_b, cams_b)
+
+    @jax.jit
+    def run(params_b, opt_b, spec_b, poses_2d_b, cams_b, extent_b):
+        def body(carry, k):
+            params_b, opt_b = carry
+            params_b, opt_b, losses = step(params_b, opt_b, spec_b,
+                                           poses_2d_b, cams_b, extent_b, k)
+            return (params_b, opt_b), losses
+
+        (params_b, opt_b), losses = jax.lax.scan(
+            body, (params_b, opt_b),
+            jnp.arange(trainer.n_macro, dtype=jnp.int32))
+        return params_b, losses
+
+    return run(params_b, opt_b, spec_b, poses_2d_b, cams_b, extent_b)
+
+
 def scene_batch_extents(cams_b) -> np.ndarray:
     """(B,) per-scene cameras_extent for a stacked camera batch."""
     import jax

@@ -87,3 +87,59 @@ def test_mesh_shapes_and_sharding(batch):
     # the heatmap spec is sharded over both axes
     s = spec_b.y0.sharding
     assert "scenes" in str(s.spec) and "views" in str(s.spec)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_optimize_full_run(batch):
+    """Scanned multichip optimization: full run over the mesh matches the
+    single-device trainer."""
+    from skelsplat_tpu.parallel.mesh import multichip_optimize
+
+    initial_b, gt_b, p2d_b, cams_b = batch
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    trainer = SceneTrainer(model, OptConfig(iterations=12),
+                           TrainSettings(consistency_loss="none"),
+                           W, H, renderer="fused")
+    mesh = make_mesh(2, 4)
+    params_b, losses = multichip_optimize(mesh, trainer, initial_b, p2d_b,
+                                          cams_b)
+    assert losses.shape[0] == 3  # macro steps
+    for b in range(2):
+        cams = jax.tree.map(lambda x: x[b], cams_b)
+        p_ref, _ = trainer.optimize_scene(initial_b[b], p2d_b[b], cams,
+                                          gt_b[b])
+        np.testing.assert_allclose(np.asarray(params_b.xyz)[b],
+                                   np.asarray(p_ref.xyz),
+                                   rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_driver_cli(tmp_path):
+    """train.py with training.multichip=true runs the mesh path end-to-end
+    on the virtual device mesh."""
+    import os
+    import yaml
+
+    from skelsplat_tpu.tools import make_synthetic_dataset as synth
+    from skelsplat_tpu.config import DEFAULT_CONFIG_DIR
+
+    root = str(tmp_path / "synth-h36m")
+    synth.write_tree(root, ["S9"], 128, 64, image_size=96)
+    with open(os.path.join(DEFAULT_CONFIG_DIR, "h36m.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["dataset"]["data_root"] = root
+    cfg["dataset"]["end_scene_id"] = 4
+    cfg["optimization"]["iterations"] = 40
+    cfg["debug"]["save_iterations"] = [40]
+    cfg["debug"]["save_images"] = False
+    cfg["training"]["multichip"] = True
+    cfg["training"]["scene_batch"] = 2
+    cfg["hydra"]["run"]["dir"] = str(tmp_path / "run")
+    cfg_path = str(tmp_path / "mc.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    import train as train_cli
+    train_cli.main(["--config-name", cfg_path])
+    plys = os.listdir(str(tmp_path / "run" / "point_cloud" / "iteration_40"))
+    assert len(plys) == 4
