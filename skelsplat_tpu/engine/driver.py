@@ -406,7 +406,7 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
         if key not in trainers:
             trainers[key] = SceneTrainer(
                 model, opt_cfg, settings, W, H,
-                antialiasing=bool(pipe.antialiasing), renderer="fused")
+                antialiasing=bool(pipe.antialiasing))
         trainer = trainers[key]
         init_b = np.stack([r.pose_3d for r in group_p]).astype(np.float32)
         p2d_b = np.stack([np.asarray(r.poses_2d, np.float32)[..., :2]

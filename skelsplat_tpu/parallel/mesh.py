@@ -34,6 +34,8 @@ from skelsplat_tpu.engine.trainer import (SceneTrainer, cameras_extent,
                                           init_params_jnp)
 from skelsplat_tpu.ops import heatmaps as hm
 from skelsplat_tpu.ops.fused import make_fused_view_loss
+from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
+                                             pallas_view_profiles)
 
 
 def make_mesh(n_scenes: int, n_views: int, devices=None) -> Mesh:
@@ -74,9 +76,17 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
     adam = trainer.adam
     accum = settings.accumulation_steps
     n_view_shards = mesh.shape["views"]
+    use_pallas = trainer.renderer == "pallas"
 
-    view_loss = make_fused_view_loss(model, settings, W, H,
+    if use_pallas:
+        _pal = make_pallas_view_loss(model, settings, W, H,
                                      trainer.antialiasing)
+        view_loss = lambda p, cam, aux, p2: _pal(p, cam, aux[0], p2,
+                                                 profiles=aux[1])
+    else:
+        _fused = make_fused_view_loss(model, settings, W, H,
+                                      trainer.antialiasing)
+        view_loss = lambda p, cam, aux, p2: _fused(p, cam, aux, p2)
 
     # ---- specs ----
     scene_sharded = P("scenes")                 # params/opt: batch axis only
@@ -92,6 +102,10 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
             drop = jnp.zeros(p2d.shape[:2], dtype=bool)
             spec = hm.heatmap_spec(params.xyz, cov6, p2d, cam, W, H,
                                    drop_mask=drop)
+            if use_pallas:
+                profs = jax.vmap(
+                    lambda sv: pallas_view_profiles(sv, W, H))(spec)
+                return params, adam.init(params), (spec, profs)
             return params, adam.init(params), spec
         return jax.vmap(one_scene)(initial, poses_2d, cams)
 
