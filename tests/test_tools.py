@@ -90,3 +90,61 @@ def test_similarity_weights(rng):
     assert np.isclose(sim[0, 0, 3], -1.0, atol=1e-6)
     idx = np.asarray(similarity.select_consistent_views(jnp.asarray(grads), 3))
     assert 3 not in idx[0]
+
+
+def test_ab_harness(tmp_path, rng):
+    """A/B harness over two fabricated runs + GT tree."""
+    import json
+    import os
+
+    from skelsplat_tpu.data import ply
+    from skelsplat_tpu.tools.ab_harness import compare
+
+    gt_dir = tmp_path / "3d_gt" / "S9" / "Walking"
+    os.makedirs(gt_dir)
+    frames = 3
+    gt = rng.normal(0, 200, (frames * 64, 17, 3)).astype(np.float32)
+    np.savez(gt_dir / "poses.npz", poses=gt)
+
+    for run, noise in [("ours", 5.0), ("theirs", 6.0)]:
+        d = tmp_path / run / "point_cloud" / "iteration_500"
+        os.makedirs(d)
+        for f in range(frames):
+            pose = gt[f * 64] + rng.normal(0, noise, (17, 3))
+            ply.write_gaussian_ply(
+                str(d / f"S9_Walking_{f * 64:06d}.ply"),
+                pose.astype(np.float32), np.zeros((17, 3), np.float32),
+                np.tile([1, 0, 0, 0], (17, 1)).astype(np.float32),
+                np.zeros((17, 1), np.float32))
+
+    out = compare(str(tmp_path / "ours"), str(tmp_path / "theirs"),
+                  str(tmp_path / "3d_gt"), 500, print_fn=lambda *a: None)
+    s = out["summary"]
+    assert s["n_scenes"] == 3
+    assert s["pose_disagreement_mm"]["mean"] > 0
+    assert 5 < s["mpjpe"]["ours_mean"] < 20
+    assert abs(s["mpjpe"]["delta_mean"]) < 10
+
+
+def test_noise_injection_reproducible(rng):
+    """training.std_dev_noise uses the reference's per-scene seed-0 RNG
+    (train.py:82) — two runs must produce identical params."""
+    import jax
+    from skelsplat_tpu.core.gaussians import SkeletonModel
+    from skelsplat_tpu.engine.optim import OptConfig
+    from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
+    from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, \
+        project_np
+
+    cams, W, H = synthetic_rig(n_views=4, width=96, height=80)
+    gt = synthetic_skeleton(17, rng=rng)
+    p2d = np.stack([project_np(gt, take_cam(cams, v)) for v in range(4)])
+    tr = SceneTrainer(SkeletonModel("h36m", 17, scaling=3.0),
+                      OptConfig(iterations=8),
+                      TrainSettings(std_dev_noise=30.0), W, H,
+                      renderer="fused")
+    p1, _ = tr.optimize_scene(gt, p2d, cams, gt)
+    p2_, _ = tr.optimize_scene(gt, p2d, cams, gt)
+    np.testing.assert_array_equal(np.asarray(p1.xyz), np.asarray(p2_.xyz))
+    # and the noise actually moved the start away from gt
+    assert np.linalg.norm(np.asarray(p1.xyz) - gt, axis=1).mean() > 1.0
