@@ -30,7 +30,7 @@ REF_SECONDS_PER_FRAME = 2.5
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=4,
+    ap.add_argument("--frames", type=int, default=6,
                     help="timed frames (after 1 compile/warmup frame)")
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--small", action="store_true",
@@ -73,7 +73,8 @@ def main(argv=None):
         print(f"frame {s}: {dt:.3f}s"
               + ("  (compile+run)" if s == 0 else ""), file=sys.stderr)
 
-    value = float(np.mean(times))
+    # median: robust to interference spikes on shared/tunneled chips
+    value = float(np.median(times))
 
     if args.profile:
         with jax.profiler.trace(args.profile):

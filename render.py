@@ -12,7 +12,6 @@ channel-summed PNGs under ``<run>/renders/``.
 """
 
 import argparse
-import glob
 import os
 
 

@@ -188,7 +188,8 @@ class Scene:
         else:
             pcd = BasicPointCloud(xyz, rgb / 255.0, np.zeros_like(xyz))
             self.gaussians.create_from_pcd(
-                pcd, cameras, self.cameras_extent, dataset and True,
+                pcd, cameras, self.cameras_extent,
+                bool(getattr(model, "opacity_on", True)),
                 float(model.scaling), self.n_joints,
                 float(model.scaling_modifier), stype)
 

@@ -287,6 +287,8 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
                       pipe, debug, save_iterations, scene_batch, output_dir,
                       tb_writer, log):
+    # tb_writer/debug accepted for interface symmetry with the per-scene
+    # loop; the batched path reports through the summary json + log only.
     """Throughput scene loop: group same-shape scenes into vmapped batches
     (bitwise-identical per-scene results; see tests)."""
     records = [rec for _, rec in dataset_loader]
