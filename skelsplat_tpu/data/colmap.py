@@ -180,6 +180,66 @@ def read_points3D_binary(path_to_model_file):
     return xyzs, rgbs, errors
 
 
+def write_next_bytes(fid, data, format_char_sequence, endian_character="<"):
+    if isinstance(data, (list, tuple)):
+        fid.write(struct.pack(endian_character + format_char_sequence, *data))
+    else:
+        fid.write(struct.pack(endian_character + format_char_sequence, data))
+
+
+def write_cameras_text(cameras, path):
+    """utils/read_write_model.py (vestigial COLMAP model writers)."""
+    with open(path, "w") as fid:
+        fid.write("# Camera list with one line of data per camera:\n"
+                  "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                  f"# Number of cameras: {len(cameras)}\n")
+        for cam in cameras.values():
+            params = " ".join(str(p) for p in cam.params)
+            fid.write(f"{cam.id} {cam.model} {cam.width} {cam.height} "
+                      f"{params}\n")
+
+
+def write_cameras_binary(cameras, path_to_model_file):
+    with open(path_to_model_file, "wb") as fid:
+        write_next_bytes(fid, len(cameras), "Q")
+        for cam in cameras.values():
+            model_id = CAMERA_MODEL_NAMES[cam.model].model_id
+            write_next_bytes(fid, [cam.id, model_id, cam.width, cam.height],
+                             "iiQQ")
+            for p in cam.params:
+                write_next_bytes(fid, float(p), "d")
+
+
+def write_images_text(images, path):
+    with open(path, "w") as fid:
+        fid.write("# Image list with two lines of data per image:\n"
+                  "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, "
+                  "NAME\n#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                  f"# Number of images: {len(images)}\n")
+        for img in images.values():
+            head = [img.id, *img.qvec, *img.tvec, img.camera_id, img.name]
+            fid.write(" ".join(map(str, head)) + "\n")
+            pts = []
+            for xy, p3d in zip(img.xys, img.point3D_ids):
+                pts.append(f"{xy[0]} {xy[1]} {p3d}")
+            fid.write(" ".join(pts) + "\n")
+
+
+def write_images_binary(images, path_to_model_file):
+    with open(path_to_model_file, "wb") as fid:
+        write_next_bytes(fid, len(images), "Q")
+        for img in images.values():
+            write_next_bytes(fid, img.id, "i")
+            write_next_bytes(fid, list(img.qvec), "dddd")
+            write_next_bytes(fid, list(img.tvec), "ddd")
+            write_next_bytes(fid, img.camera_id, "i")
+            fid.write(img.name.encode("utf-8") + b"\x00")
+            write_next_bytes(fid, len(img.point3D_ids), "Q")
+            for xy, p3d in zip(img.xys, img.point3D_ids):
+                write_next_bytes(fid, [float(xy[0]), float(xy[1]),
+                                       int(p3d)], "ddq")
+
+
 def read_colmap_bin_array(path):
     """COLMAP dense depth-map reader (colmap_loader/read_write_model)."""
     with open(path, "rb") as fid:

@@ -39,6 +39,15 @@ def safe_state(silent: bool):
     np.random.seed(0)
 
 
+def pil_to_array(pil_image, resolution=None):
+    """CHW float image in [0,1] from a PIL image (general_utils.py:30-36,
+    PILtoTorch — the resize is commented out in the reference too)."""
+    arr = np.array(pil_image) / 255.0
+    if arr.ndim == 3:
+        return np.transpose(arr, (2, 0, 1))
+    return arr[None, ...]
+
+
 def mkdir_p(folder_path):
     os.makedirs(folder_path, exist_ok=True)
 
