@@ -23,11 +23,24 @@ import os as _os
 # minutes to compile (especially through remote-compile TPU setups) but are
 # identical across processes — cache them on disk unless the user overrides.
 if not _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE"):
+    import hashlib as _hashlib
+    import platform as _platform
+
     import jax as _jax
 
+    # key the cache by the host CPU (CPU AOT artifacts embed machine
+    # features; a home dir shared across heterogeneous hosts must not mix
+    # them — mismatches risk SIGILL)
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _cpu_sig = _hashlib.sha1(_f.read().split("flags")[1][:2000]
+                                     .encode()).hexdigest()[:10]
+    except Exception:
+        _cpu_sig = _platform.machine()
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "skelsplat-jax"))
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      f"skelsplat-jax-{_cpu_sig}"))
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

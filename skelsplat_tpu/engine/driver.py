@@ -186,7 +186,18 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                                  settings, pipe, debug, save_iterations,
                                  scene_batch, output_dir, tb_writer, log)
 
+    # additive resume knob: skip scenes whose final-iteration PLY already
+    # exists in the run dir (long-sweep restarts; the reference restarts via
+    # dataset.start_scene_id windowing only)
+    skip_existing = bool(getattr(training_group, "skip_existing", False))
+
     for scene_id, record in dataset_loader:
+        if skip_existing and os.path.exists(os.path.join(
+                output_dir, "point_cloud",
+                f"iteration_{opt_cfg.iterations}",
+                f"{record.scene_name}.ply")):
+            log.info(f"Scene {record.scene_name}: already done, skipping")
+            continue
         cameras = cameras_io.build_camera_batch(record.cameras)
         W = int(np.asarray(cameras.width).max())
         H = int(np.asarray(cameras.height).max())

@@ -1,5 +1,10 @@
 import os
 
+# The package enables a persistent compilation cache; CPU AOT entries are
+# machine-feature-specific and this repo's cache may be shared across
+# heterogeneous hosts — keep unit tests hermetic.
+os.environ.setdefault("SKELSPLAT_NO_COMPILE_CACHE", "1")
+
 # Multi-device SPMD tests run on a virtual 8-device CPU mesh — the standard
 # way to validate TPU-style sharding without a pod. Must be set before jax
 # initializes. Force-override: the environment's sitecustomize pins
