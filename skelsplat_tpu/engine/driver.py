@@ -161,7 +161,6 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 
     trainers: dict[tuple, SceneTrainer] = {}
     results = []
-    drop_key = jax.random.PRNGKey(0)
 
     # Same-chip scene batching (throughput mode): an additive config knob —
     # `training.scene_batch=B` vmaps B independent scenes through one
@@ -234,19 +233,38 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                 np.asarray(params.log_scales), np.asarray(params.quats),
                 np.asarray(params.opacity_logit))
 
+        # buffer checkpoints so early-stopped scenes can be saved under
+        # their stop iteration, exactly like train.py:227-233 ("iteration in
+        # save_iterations or stop" → save, then break: nothing after).
+        pending_saves = []
+        buffer_ckpt = lambda it, prm: pending_saves.append((it, prm))
+
         if settings.dropout:
-            drop_key, sub = jax.random.split(drop_key)
+            # per-scene draw from the torch global RNG, in dataset order —
+            # bitwise the reference's sequence (general_utils.py:267-271)
+            from skelsplat_tpu.ops.heatmaps import dropout_masks_torch
+            dmask = dropout_masks_torch(nv, np.asarray(
+                record.poses_2d).shape[1])
         else:
-            sub = None
+            dmask = None
 
         t0 = time.perf_counter()
         params, history = trainer.optimize_scene(
             record.pose_3d, record.poses_2d, cameras, record.pose_3d_gt,
-            drop_key=sub, checkpoint_iterations=save_iterations,
-            checkpoint_fn=save_ply_at)
+            drop_mask=dmask, checkpoint_iterations=save_iterations,
+            checkpoint_fn=buffer_ckpt)
         jax.block_until_ready(params.xyz)
         dt = time.perf_counter() - t0
         total_opt_seconds += dt
+
+        stop_it = int(np.asarray(history.stopped_at))
+        for it, prm in pending_saves:
+            if stop_it and it >= stop_it:
+                # post-stop params are frozen at their stop-time values, so
+                # any later checkpoint carries exactly the stop-step state
+                save_ply_at(stop_it, prm)
+                break
+            save_ply_at(it, prm)
 
         # per-scene error report (train.py:184-213, 239-242) with the S9
         # bad-calibration zeroing applied to the LOGGED absolute error
@@ -351,8 +369,12 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
         total += dt
 
         for b, (rec, _) in enumerate(group):
+            # early-stopped scenes land in their stop-iteration dir
+            # (train.py:227-233); params froze at the stop step.
+            stop_b = int(np.asarray(hist_b.stopped_at)[b])
+            it_dir = stop_b if stop_b else opt_cfg.iterations
             path = os.path.join(output_dir, "point_cloud",
-                                f"iteration_{opt_cfg.iterations}",
+                                f"iteration_{it_dir}",
                                 f"{rec.scene_name}.ply")
             ply.write_gaussian_ply(
                 path, np.asarray(params_b.xyz[b]),

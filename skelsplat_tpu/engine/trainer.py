@@ -15,14 +15,15 @@ Gradient-fusion semantics are reproduced exactly: xyz steps on the mean
 per-view gradient; log_scales/quats/opacity step on view V−1's gradient
 alone (the reference overwrites .grad each iteration, so the last view wins).
 
-Early stopping (``opt_early_stopping``) is evaluated at macro-step
-granularity: stop when every per-view loss changed by < tol vs the previous
-macro step — the same repeating-pattern criterion as
-general_utils.py:467-491 restricted to window-aligned offsets (the reference
-also checks mid-window straddles; with the default ``no_stopping`` this path
-is off everywhere). After a stop fires, parameters freeze (the reference
-breaks out of the loop), so the final parameters equal the stop-time
-parameters.
+Early stopping (``opt_early_stopping``) is exact for every (nviews,
+accumulation_steps) combination: the per-iteration 8-loss window check of
+general_utils.py:467-491 — including windows that straddle macro-step
+boundaries — runs against a rolling history carry, and a mid-macro stop
+steps with the reference's mixed gradients (fresh rows for the views
+visited so far this macro, persistent stale ``accumulated_grads`` rows for
+the rest; train.py:121,155,175-182). After a stop fires, parameters freeze
+(the reference breaks out of the loop), so the final parameters equal the
+stop-time parameters.
 """
 
 from __future__ import annotations
@@ -48,32 +49,32 @@ from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
 REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
 
 
-def stop_offset(cur, prev1, prev2, k1, tol):
-    """First inner-iteration offset m ∈ {1..4} at which OptEarlyStopping's
-    8-loss window check (general_utils.py:474-491) fires during macro step
-    k1 (1-based), given the per-view losses of the current and two previous
-    macro steps; returns (stop_now, m_star) with m_star = nviews when no
-    stop (so the gradient-composition indices reduce to the normal case).
+def stop_offset(hist8, cur, k1, tol):
+    """First inner-iteration offset m ∈ {1..A} at which OptEarlyStopping's
+    8-loss window check (general_utils.py:474-491, window_size=4) fires
+    during macro step k1 (1-based), for ANY accumulation length A.
 
-    At inner iteration 4(k1−1)+m the history suffix is
-    [prev1[m:], cur[:m]] + [prev2[m:], prev1[:m]] — windows align so the
-    check is elementwise closeness of (cur[:m] vs prev1[:m]) and
-    (prev1[m:] vs prev2[m:]).
+    ``hist8`` carries the 8 most recent per-iteration losses from before
+    this macro (+inf-padded at the front while the history is short); ``cur``
+    is this macro's A per-view losses in visit order. After appending m of
+    them, the reference compares the last 4 losses against the previous 4 —
+    which is ``full[m+4:m+8]`` vs ``full[m:m+4]`` of the concatenated
+    (8+A,) vector — gated on a total history of ≥ 8 entries.
+
+    Returns (stop_now, m_star, new_hist8) with m_star = A when no stop, so
+    the gradient-composition indices reduce to the normal macro step.
     """
-    nviews = cur.shape[0]
-    d_cur = jnp.abs(cur - prev1) < tol
-    d_prev = jnp.abs(prev1 - prev2) < tol
-    idx = jnp.arange(nviews)
+    A = cur.shape[0]
+    full = jnp.concatenate([hist8, cur])
+    base = (k1 - 1) * A
     conds = []
-    for m in range(1, nviews + 1):
-        c = (jnp.all(jnp.where(idx < m, d_cur, True))
-             & jnp.all(jnp.where(idx >= m, d_prev, True)))
-        gate = (k1 >= 2) if m == nviews else (k1 >= 3)
-        conds.append(c & gate)
+    for m in range(1, A + 1):
+        c = jnp.all(jnp.abs(full[m:m + 4] - full[m + 4:m + 8]) < tol)
+        conds.append(c & (base + m >= 8))
     conds = jnp.stack(conds)
     stop_now = jnp.any(conds)
-    m_star = jnp.where(stop_now, jnp.argmax(conds) + 1, nviews)
-    return stop_now, m_star
+    m_star = jnp.where(stop_now, jnp.argmax(conds) + 1, A)
+    return stop_now, m_star, full[A:]
 
 
 def cameras_extent(cameras: Camera) -> float:
@@ -178,7 +179,8 @@ class SceneTrainer:
         loss_fn = loss_registry.losses[self.settings.loss_function]
         main, _ = loss_fn(render, gt_heatmaps_v, pose_2d_v[:, :2],
                           self.settings.lambda_loss_function,
-                          reduction="mean")
+                          reduction="mean",
+                          domain=(cam.width, cam.height))
         cons_fn = loss_registry.consistency_losses[
             self.settings.consistency_loss]
         cons = cons_fn(params.xyz, self.model.scene_type, reduction="mean")
@@ -211,17 +213,17 @@ class SceneTrainer:
             opt_state = self.adam.init(params)
             nviews = poses_2d.shape[0]
             general = V_accum != nviews
-            n_loss = V_accum if general else nviews
-            inf = jnp.full((n_loss,), jnp.inf, jnp.float32)
+            # accumulated_grads rows persist across macro steps and start at
+            # zero (train.py:121) — needed whenever a step can mix stale rows
+            # in: unvisited views (general) or a mid-macro stop (use_stop).
             acc0 = (jnp.zeros((nviews,) + params.xyz.shape, jnp.float32),) \
-                if general else ()
+                if (general or use_stop) else ()
             if use_stop:
-                carry = (params, opt_state, inf, inf,
-                         jnp.zeros((n_loss,) + params.xyz.shape,
-                                   jnp.float32),
+                hist8 = jnp.full((8,), jnp.inf, jnp.float32)
+                carry = (params, opt_state, hist8,
                          jnp.asarray(False)) + acc0
             else:
-                carry = (params, opt_state, inf, jnp.asarray(False)) + acc0
+                carry = (params, opt_state, jnp.asarray(False)) + acc0
             return carry, view_aux
 
         def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
@@ -258,13 +260,12 @@ class SceneTrainer:
 
             def macro_step(carry, k):
                 acc_gx = None
-                if general:
+                if general or use_stop:
                     carry, acc_gx = carry[:-1], carry[-1]
                 if use_stop:
-                    (params, opt_state, prev1, prev2, prev_gx,
-                     stopped) = carry
+                    params, opt_state, hist8, stopped = carry
                 else:
-                    params, opt_state, prev1, stopped = carry
+                    params, opt_state, stopped = carry
 
                 if general:
                     # accumulation window ≠ view count: the reference's
@@ -275,27 +276,33 @@ class SceneTrainer:
                     idxs = (k * V_accum
                             + jnp.arange(V_accum, dtype=jnp.int32)) % nviews
                     losses_v, grads_v = per_view_grads(params, idxs)
-                    acc_gx = acc_gx.at[idxs].set(grads_v.xyz)
                 else:
+                    idxs = jnp.arange(V_accum, dtype=jnp.int32)
                     losses_v, grads_v = per_view_grads(params)
 
-                if use_stop and nviews == 4 and V_accum == 4 and not general:
-                    # Exact OptEarlyStopping (general_utils.py:467-491): the
-                    # per-iteration loss history is [L_1[0..3], L_2[0..3],…]
-                    # (params constant within a macro step), so each window
-                    # check at inner iteration 4k+m compares slices of the
-                    # current / previous / twice-previous macro's view
-                    # losses. A mid-macro stop steps with the reference's
-                    # mixed gradients: rows < m from this macro, the rest
-                    # STALE from the previous one (train.py:121,175,215 —
+                if use_stop:
+                    # Exact OptEarlyStopping: the per-iteration loss history
+                    # is the concatenation of the per-macro loss vectors
+                    # (params constant within a macro step); a mid-macro stop
+                    # at offset m steps with the reference's mixed gradients:
+                    # accumulated_grads rows of views visited at offsets < m
+                    # this macro are fresh, every other row keeps its stale
+                    # (or zero-init) value (train.py:121,155,175,215 —
                     # accumulated_grads is never zeroed).
-                    stop_now, m_star = stop_offset(
-                        losses_v, prev1, prev2, k + 1, REPEAT_TOL)
-                    idx = jnp.arange(nviews)
-                    row_new = idx[:, None, None] < m_star
-                    gx_used = jnp.where(row_new, grads_v.xyz, prev_gx)
-                    g_xyz = jnp.mean(gx_used, axis=0)
-                    oidx = m_star - 1        # == nviews-1 when not stopping
+                    stop_now, m_star, hist8 = stop_offset(
+                        hist8, losses_v, k + 1, REPEAT_TOL)
+                    if general:
+                        # sequential writes so duplicate visits and the
+                        # offset cutoff both resolve exactly as the loop does
+                        for j in range(V_accum):
+                            acc_gx = acc_gx.at[idxs[j]].set(jnp.where(
+                                j < m_star, grads_v.xyz[j], acc_gx[idxs[j]]))
+                    else:
+                        row_new = (jnp.arange(V_accum)[:, None, None]
+                                   < m_star)
+                        acc_gx = jnp.where(row_new, grads_v.xyz, acc_gx)
+                    g_xyz = jnp.mean(acc_gx, axis=0)
+                    oidx = m_star - 1        # == V_accum-1 when not stopping
                     grads = GaussianParams(
                         xyz=g_xyz,
                         log_scales=grads_v.log_scales[oidx],
@@ -306,12 +313,13 @@ class SceneTrainer:
                 else:
                     # view fusion (train.py:175-179, 215-218): mean for xyz,
                     # last rendered view for the other groups.
+                    stop_now = jnp.asarray(False)
                     if general:
+                        acc_gx = acc_gx.at[idxs].set(grads_v.xyz)
                         g_xyz = jnp.mean(acc_gx, axis=0)
-                        last = V_accum - 1
                     else:
                         g_xyz = jnp.mean(grads_v.xyz, axis=0)
-                        last = nviews - 1
+                    last = V_accum - 1
                     grads = GaussianParams(
                         xyz=g_xyz,
                         log_scales=grads_v.log_scales[last],
@@ -319,13 +327,6 @@ class SceneTrainer:
                         opacity_logit=grads_v.opacity_logit[last],
                     )
                     iteration = (k + 1) * V_accum
-                    if use_stop:
-                        # non-standard view counts: macro-boundary
-                        # approximation of the window check
-                        stop_now = jnp.all(
-                            jnp.abs(losses_v - prev1) < REPEAT_TOL) & (k > 0)
-                    else:
-                        stop_now = jnp.asarray(False)
 
                 new_params, new_opt = self.adam.step(
                     params, grads, opt_state, iteration, spatial_lr_scale)
@@ -344,11 +345,10 @@ class SceneTrainer:
                 rec = (losses_v, err, err_rel,
                        jnp.where(stop_now & apply, iteration, 0))
                 if use_stop:
-                    new_carry = (params2, opt2, losses_v, prev1,
-                                 grads_v.xyz, stopped2)
+                    new_carry = (params2, opt2, hist8, stopped2)
                 else:
-                    new_carry = (params2, opt2, losses_v, stopped2)
-                if general:
+                    new_carry = (params2, opt2, stopped2)
+                if general or use_stop:
                     new_carry = new_carry + (acc_gx,)
                 return new_carry, rec
 
@@ -365,7 +365,7 @@ class SceneTrainer:
 
     # ------------------------------------------------------------------
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
-                       pose_3d_gt=None, drop_key=None,
+                       pose_3d_gt=None, drop_key=None, drop_mask=None,
                        checkpoint_iterations=(), checkpoint_fn=None):
         """Run the full optimization for one scene.
 
@@ -392,7 +392,10 @@ class SceneTrainer:
         poses_2d = jnp.asarray(np.asarray(poses_2d)[..., :2],
                                dtype=jnp.float32)
         nviews, n = poses_2d.shape[0], poses_2d.shape[1]
-        if self.settings.dropout and drop_key is not None:
+        if self.settings.dropout and drop_mask is not None:
+            # host-drawn mask (dropout_masks_torch — bitwise reference draw)
+            drop_mask = jnp.asarray(drop_mask, dtype=bool)
+        elif self.settings.dropout and drop_key is not None:
             drop_mask = hm.dropout_masks(drop_key, nviews, n)
         else:
             drop_mask = jnp.zeros((nviews, n), dtype=bool)

@@ -213,6 +213,24 @@ def dropout_masks(key, n_views: int, n_joints: int):
     return cam_hit[:, None] & joint_hit[None, :]
 
 
+def dropout_masks_torch(n_views: int, n_joints: int) -> np.ndarray:
+    """Bitwise twin of the reference's per-scene dropout draw
+    (general_utils.py:267-271): two ``torch.randint`` calls on the GLOBAL
+    torch CPU generator — which ``safe_state`` seeds to 0 exactly like the
+    reference's torch.manual_seed(0) (general_utils.py:141) — consumed one
+    scene at a time in dataset order. The camera draw range is the
+    reference's hardcoded 4 regardless of n_views. Returns a host-side
+    (n_views, n_joints) bool mask."""
+    import torch
+
+    cams = torch.randint(4, (3,)).numpy()
+    joints = torch.randint(n_joints, (3,)).numpy()
+    cam_hit = np.any(np.arange(n_views)[:, None] == cams[None, :], axis=-1)
+    joint_hit = np.any(
+        np.arange(n_joints)[:, None] == joints[None, :], axis=-1)
+    return cam_hit[:, None] & joint_hit[None, :]
+
+
 # ---------------------------------------------------------------------------
 # Host-side oracle (numpy + scipy) — transcription of general_utils.py:175-304
 # ---------------------------------------------------------------------------

@@ -37,6 +37,14 @@ def safe_state(silent: bool):
     sys.stdout = F(silent)
     random.seed(0)
     np.random.seed(0)
+    try:
+        import torch
+
+        # the reference also seeds torch (general_utils.py:141); the torch
+        # CPU generator feeds the bitwise dropout draws (ops/heatmaps.py)
+        torch.manual_seed(0)
+    except ImportError:
+        pass
 
 
 def pil_to_array(pil_image, resolution=None):

@@ -129,3 +129,31 @@ def test_psnr_identity(imgs):
     assert np.all(p > 80)
     p2 = np.asarray(image_metrics.psnr(a, jnp.clip(a + 0.1, 0, 1)))
     assert np.all(p2 < 30)
+
+
+def test_loss_domain_equals_cropped(rng):
+    """Every registry loss with ``domain=(w,h)`` on zero-padded (C,H,W)
+    inputs must equal the plain loss on the cropped true-size inputs — the
+    reference computes per-view at the true image size (H36M rigs mix
+    1000/1002-wide cameras, padded to one static shape here)."""
+    from skelsplat_tpu import losses as L
+
+    C, ht, wt, H, W = 3, 40, 37, 48, 48
+    render = np.zeros((C, H, W), np.float32)
+    gt = np.zeros((C, H, W), np.float32)
+    render[:, :ht, :wt] = rng.random((C, ht, wt))
+    gt[:, :ht, :wt] = rng.random((C, ht, wt))
+    # sparsify so the union-of-support masks are nontrivial
+    render[render < 0.7] = 0.0
+    gt[gt < 0.7] = 0.0
+    gt_2d = (rng.random((C, 2)) * [wt, ht]).astype(np.float32)
+
+    for name, fn in L.losses.items():
+        full, _ = fn(jnp.asarray(render), jnp.asarray(gt),
+                     jnp.asarray(gt_2d), 0.3, reduction="mean",
+                     domain=(wt, ht))
+        crop, _ = fn(jnp.asarray(render[:, :ht, :wt]),
+                     jnp.asarray(gt[:, :ht, :wt]),
+                     jnp.asarray(gt_2d), 0.3, reduction="mean")
+        np.testing.assert_allclose(np.asarray(full), np.asarray(crop),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)

@@ -341,20 +341,22 @@ def test_exact_early_stopping_matches_reference_loop(scene):
 
 def test_stop_offset_matches_history_simulation(rng):
     """Fuzz the window logic against a literal OptEarlyStopping history
-    simulation across random loss sequences — covers every straddle offset."""
+    simulation across random loss sequences and accumulation lengths —
+    covers every macro-boundary straddle offset."""
     from skelsplat_tpu.engine.trainer import stop_offset
 
     tol = 0.1
     for trial in range(200):
-        n_macro = 5
+        A = int(rng.choice([1, 2, 3, 4, 5, 8]))
+        n_macro = (20 + A - 1) // A
         # random per-view losses with frequent repeats to trigger stops
         losses = rng.choice([0.5, 0.50001, 0.7, 0.9],
-                            size=(n_macro, 4)).astype(np.float64)
+                            size=(n_macro, A)).astype(np.float32)
         # literal simulation: iterate inner iterations, keep history
         history = []
         ref = None
         for k1 in range(1, n_macro + 1):
-            for m in range(1, 5):
+            for m in range(1, A + 1):
                 history.append(losses[k1 - 1, m - 1])
                 if len(history) >= 8:
                     w1 = np.array(history[-8:-4])
@@ -364,19 +366,16 @@ def test_stop_offset_matches_history_simulation(rng):
                         break
             if ref:
                 break
-        # scan-version: evaluate per macro step
+        # scan-version: evaluate per macro step with the rolling history
         ours = None
-        inf = np.full(4, np.inf)
+        hist8 = jnp.full((8,), jnp.inf)
         for k1 in range(1, n_macro + 1):
-            cur = losses[k1 - 1]
-            prev1 = losses[k1 - 2] if k1 >= 2 else inf
-            prev2 = losses[k1 - 3] if k1 >= 3 else inf
-            stop, m_star = stop_offset(jnp.asarray(cur), jnp.asarray(prev1),
-                                       jnp.asarray(prev2), k1, tol)
+            stop, m_star, hist8 = stop_offset(
+                hist8, jnp.asarray(losses[k1 - 1]), k1, tol)
             if bool(stop):
                 ours = (k1, int(m_star))
                 break
-        assert ours == ref, f"trial {trial}: ours {ours} vs ref {ref}"
+        assert ours == ref, f"trial {trial} A={A}: ours {ours} vs ref {ref}"
 
 
 def test_general_accumulation_matches_reference_loop():
@@ -451,4 +450,105 @@ def test_general_accumulation_matches_reference_loop():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(params2.log_scales),
                                np.asarray(p.log_scales),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_general_accumulation_mid_macro_stop_matches_reference_loop():
+    """nviews=6, accum=4 with a mid-macro early stop: force the window check
+    to fire at macro 3, offset 2 (inner iteration 10) in BOTH the literal
+    reference loop and the trainer (by monkeypatching stop_offset with the
+    same forced decision), and verify the mixed stale/fresh
+    accumulated_grads step, the Adam step count, and the LR iteration all
+    match (train.py:155-233)."""
+    import skelsplat_tpu.engine.trainer as trainer_mod
+
+    NV6 = 6
+    cams6, _, _ = synthetic_rig(n_views=NV6, width=W, height=H)
+    rng = np.random.default_rng(13)
+    gt = synthetic_skeleton(N_J, rng=rng, spread=300.0)
+    p2d = np.stack([project_np(gt, take_cam(cams6, v))
+                    for v in range(NV6)]).astype(np.float32)
+    init = gt + rng.normal(0, 40, gt.shape).astype(np.float32)
+    model = _model()
+    opt_cfg = OptConfig(iterations=20)
+    settings = TrainSettings(early_stopping="opt_early_stopping")
+    STOP_IT = 10   # macro 3 (k1=3), offset m=2
+
+    # ---- literal reference loop with the same forced stop decision ----
+    params = init_params_jnp(jnp.asarray(init), "h36m", 3.0, 1.0)
+    spec = heatmaps.heatmap_spec(params.xyz, params.covariance(),
+                                 jnp.asarray(p2d), cams6, W, H)
+    gt_hm = heatmaps.eval_heatmaps(spec, W, H)
+    camsj = jax.tree.map(jnp.asarray, cams6)
+
+    def view_loss(p, v):
+        cam = take_cam(camsj, v)
+        out = rasterizer.render(p, cam, W, H)
+        main, _ = L.l2_loss_gaussian(out["render"], gt_hm[v], p2d[v, :, :2])
+        return main + L.limb_3d_consistency_loss(p.xyz, "h36m") * 1e-5
+
+    grad_fns = [jax.jit(jax.grad(lambda p, v=v: view_loss(p, v)))
+                for v in range(NV6)]
+    adam = AdamGroups(opt_cfg)
+    ext = cameras_extent(camsj)
+    m = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    v_ = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    t = 0
+    accum = np.zeros((NV6, N_J, 3), np.float32)
+    p = params
+    for it in range(1, opt_cfg.iterations + 1):
+        vidx = (it - 1) % NV6
+        g = grad_fns[vidx](p)
+        stop = it == STOP_IT
+        accum[vidx] = np.asarray(g.xyz)
+        last = g
+        if it % settings.accumulation_steps == 0 or stop:
+            t += 1
+            grads = {"xyz": accum.mean(axis=0),
+                     "log_scales": np.asarray(last.log_scales),
+                     "quats": np.asarray(last.quats),
+                     "opacity_logit": np.asarray(last.opacity_logit)}
+            lrs = {"xyz": float(adam.xyz_lr(it, ext)),
+                   "log_scales": opt_cfg.scaling_lr,
+                   "quats": opt_cfg.rotation_lr,
+                   "opacity_logit": opt_cfg.opacity_lr}
+            newvals = {}
+            for name in grads:
+                g_ = grads[name]
+                m_ = BETA1 * getattr(m, name) + (1 - BETA1) * g_
+                vv = BETA2 * getattr(v_, name) + (1 - BETA2) * g_ * g_
+                m = dataclasses.replace(m, **{name: m_})
+                v_ = dataclasses.replace(v_, **{name: vv})
+                newvals[name] = (np.asarray(getattr(p, name))
+                                 - lrs[name] * (m_ / (1 - BETA1 ** t))
+                                 / (np.sqrt(vv / (1 - BETA2 ** t)) + EPS))
+            p = dataclasses.replace(
+                p, **{k: jnp.asarray(x) for k, x in newvals.items()})
+        if stop:
+            break
+
+    # ---- trainer with the identical forced decision ----
+    real = trainer_mod.stop_offset
+
+    def forced(hist8, cur, k1, tol):
+        _, _, new_hist = real(hist8, cur, k1, tol)
+        stop_now = k1 == 3
+        m_star = jnp.where(stop_now, 2, cur.shape[0])
+        return stop_now, m_star, new_hist
+
+    trainer_mod.stop_offset = forced
+    try:
+        tr = SceneTrainer(model, opt_cfg, settings, W, H, renderer="fused")
+        params2, hist = tr.optimize_scene(init, p2d, cams6, gt)
+    finally:
+        trainer_mod.stop_offset = real
+
+    assert int(hist.stopped_at) == STOP_IT
+    np.testing.assert_allclose(np.asarray(params2.xyz), np.asarray(p.xyz),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(params2.log_scales),
+                               np.asarray(p.log_scales),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(params2.quats),
+                               np.asarray(p.quats),
                                rtol=2e-5, atol=2e-5)

@@ -92,6 +92,34 @@ def test_dropout_zeroes_channels(scene):
                 assert hm[v, j].max() > 0.99
 
 
+def test_dropout_masks_torch_matches_reference_draw():
+    """The host-side dropout draw must consume the torch GLOBAL CPU RNG
+    exactly like the reference (general_utils.py:267-282 under
+    torch.manual_seed(0)): two randint calls per scene, scenes in order,
+    camera range hardcoded to 4."""
+    import torch
+
+    n_joints = 17
+    torch.manual_seed(0)
+    refs = []
+    for _ in range(3):          # three consecutive scenes
+        dropout_cams = torch.randint(4, (3,))
+        dropout_joints = torch.randint(n_joints, (3,))
+        mask = np.zeros((4, n_joints), bool)
+        for i_cam in range(4):
+            if i_cam in dropout_cams:       # tensor __contains__, as in ref
+                joints_to_use = list(filter(
+                    lambda x: x not in dropout_joints, range(n_joints)))
+                for j in range(n_joints):
+                    mask[i_cam, j] = j not in joints_to_use
+        refs.append(mask)
+
+    torch.manual_seed(0)
+    for ref in refs:
+        got = heatmaps.dropout_masks_torch(4, n_joints)
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_channel_eval_matches_full(scene):
     cams, W, H, params, cov6, poses_2d = scene
     spec = heatmaps.heatmap_spec(params.xyz, cov6, jnp.asarray(poses_2d),

@@ -128,3 +128,45 @@ def test_render_cli(synth, runcfg):
                      "render.iteration=200", "render.max_scenes=2"])
     pngs = os.listdir(os.path.join(run_dir, "renders"))
     assert len(pngs) == 8  # 2 scenes × 4 cams
+
+
+def test_train_dropout_and_stop_iteration_saves(synth, tmp_path_factory):
+    """dropout=true draws the torch-RNG masks per scene, and early-stopped
+    scenes save ONE PLY under their stop iteration with nothing after
+    (train.py:227-233). REPEAT_TOL=1e6 makes the 8-loss window fire at the
+    earliest gated iteration (8)."""
+    import skelsplat_tpu.engine.trainer as trainer_mod
+    import train as train_cli
+    from skelsplat_tpu.config import DEFAULT_CONFIG_DIR
+
+    with open(os.path.join(DEFAULT_CONFIG_DIR, "h36m.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["dataset"]["data_root"] = synth
+    cfg["dataset"]["end_scene_id"] = 2
+    cfg["optimization"]["iterations"] = 40
+    cfg["debug"]["save_iterations"] = [20]
+    cfg["training"]["dropout"] = True
+    cfg["training"]["early_stopping"] = "opt_early_stopping"
+    exp = tmp_path_factory.mktemp("exp_stop")
+    run_dir = str(exp / "run")
+    cfg["hydra"]["run"]["dir"] = run_dir
+    path = tmp_path_factory.mktemp("cfg_stop") / "synth_stop.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    old_tol = trainer_mod.REPEAT_TOL
+    trainer_mod.REPEAT_TOL = 1e6
+    try:
+        train_cli.main(["--config-name", str(path)])
+    finally:
+        trainer_mod.REPEAT_TOL = old_tol
+
+    summary = json.load(open(os.path.join(run_dir, "train_summary.json")))
+    assert len(summary["scenes"]) == 2
+    pc = os.path.join(run_dir, "point_cloud")
+    for sc in summary["scenes"]:
+        assert sc["stopped_at"] == 8
+        name = sc["scene_name"] + ".ply"
+        assert os.path.exists(os.path.join(pc, "iteration_8", name))
+        assert not os.path.exists(os.path.join(pc, "iteration_20", name))
+        assert not os.path.exists(os.path.join(pc, "iteration_40", name))
