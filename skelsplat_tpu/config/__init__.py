@@ -66,7 +66,9 @@ def parse_overrides(overrides: list[str]) -> dict[str, Any]:
         if "=" not in ov:
             raise SystemExit(f"override {ov!r} is not of form key=value")
         key, _, raw = ov.partition("=")
-        out[key.strip()] = yaml.safe_load(raw)
+        # hydra's append (+key) / force-append (++key) prefixes: our configs
+        # are plain dicts, so adding and overriding are the same operation
+        out[key.strip().lstrip("+")] = yaml.safe_load(raw)
     return out
 
 

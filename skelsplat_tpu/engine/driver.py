@@ -185,17 +185,36 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                                  settings, pipe, debug, save_iterations,
                                  scene_batch, output_dir, tb_writer, log)
 
-    # additive resume knob: skip scenes whose final-iteration PLY already
-    # exists in the run dir (long-sweep restarts; the reference restarts via
-    # dataset.start_scene_id windowing only)
+    # additive resume knob: skip scenes whose final PLY already exists in
+    # the run dir (long-sweep restarts; the reference restarts via
+    # dataset.start_scene_id windowing only). Early-stopped scenes save
+    # under iteration_{stop} instead of the final iteration, so also consult
+    # the previous run's summary for their stop iterations.
     skip_existing = bool(getattr(training_group, "skip_existing", False))
+    prev_scenes = {}
+    if skip_existing:
+        try:
+            with open(os.path.join(output_dir, "train_summary.json")) as f:
+                prev_scenes = {s["scene_name"]: s
+                               for s in json.load(f).get("scenes", [])}
+        except (OSError, ValueError):
+            pass
+
+    def _done_iteration(name):
+        prev = prev_scenes.get(name, {})
+        return int(prev.get("stopped_at", 0)) or opt_cfg.iterations
 
     for scene_id, record in dataset_loader:
         if skip_existing and os.path.exists(os.path.join(
                 output_dir, "point_cloud",
-                f"iteration_{opt_cfg.iterations}",
+                f"iteration_{_done_iteration(record.scene_name)}",
                 f"{record.scene_name}.ply")):
             log.info(f"Scene {record.scene_name}: already done, skipping")
+            if record.scene_name in prev_scenes:
+                # keep the prior record so the rewritten summary stays whole
+                prev = prev_scenes[record.scene_name]
+                results.append(prev)
+                total_opt_seconds += float(prev.get("seconds", 0.0))
             continue
         cameras = cameras_io.build_camera_batch(record.cameras)
         W = int(np.asarray(cameras.width).max())

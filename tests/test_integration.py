@@ -170,3 +170,19 @@ def test_train_dropout_and_stop_iteration_saves(synth, tmp_path_factory):
         assert os.path.exists(os.path.join(pc, "iteration_8", name))
         assert not os.path.exists(os.path.join(pc, "iteration_20", name))
         assert not os.path.exists(os.path.join(pc, "iteration_40", name))
+
+    # stop-aware resume: skip_existing consults the summary for early-stop
+    # iterations, skips the scenes, and keeps their records in the rewritten
+    # summary (hydra '+key' add-prefix must parse too)
+    mtimes = {sc["scene_name"]: os.path.getmtime(os.path.join(
+        pc, "iteration_8", sc["scene_name"] + ".ply"))
+        for sc in summary["scenes"]}
+    train_cli.main(["--config-name", str(path),
+                    "+training.skip_existing=true"])
+    summary2 = json.load(open(os.path.join(run_dir, "train_summary.json")))
+    assert len(summary2["scenes"]) == 2
+    for sc in summary2["scenes"]:
+        assert sc["stopped_at"] == 8
+        assert os.path.getmtime(os.path.join(
+            pc, "iteration_8", sc["scene_name"] + ".ply")) \
+            == mtimes[sc["scene_name"]]          # not rewritten → skipped
