@@ -22,7 +22,13 @@ import os as _os
 # Persistent XLA/Mosaic compilation cache: the fused scan programs take
 # minutes to compile (especially through remote-compile TPU setups) but are
 # identical across processes — cache them on disk unless the user overrides.
-if not _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE"):
+# CPU-only processes skip it: CPU compiles are fast and CPU AOT artifacts
+# embed LLVM machine features, which risk SIGILL when a home dir is shared
+# across heterogeneous hosts (observed live: "+prefer-no-scatter is not
+# supported on the host machine" loads despite the cpuinfo keying below).
+_platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
+if (not _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE")
+        and _platforms not in ("cpu",)):
     import hashlib as _hashlib
     import platform as _platform
 

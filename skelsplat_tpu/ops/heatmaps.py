@@ -201,9 +201,9 @@ def dropout_masks(key, n_views: int, n_joints: int):
     (general_utils.py:267-282; the reference hardcodes randint(4) for the
     camera draw — reproduced via the modulo below when n_views == 4).
 
-    Note: the reference draws from torch's global RNG; we use a JAX key, so
-    dropout runs (off by default in every config) are statistically but not
-    bitwise identical.
+    Device-traceable variant keyed by a JAX PRNG key (statistical twin).
+    The training driver uses ``dropout_masks_torch`` below, which reproduces
+    the reference's torch global-RNG draw bitwise.
     """
     kc, kj = jax.random.split(key)
     cams = jax.random.randint(kc, (3,), 0, 4)
