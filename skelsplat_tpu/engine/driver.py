@@ -435,6 +435,13 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
     from skelsplat_tpu.parallel import make_mesh
     from skelsplat_tpu.parallel.mesh import multichip_optimize
 
+    if settings.early_stopping != "no_stopping":
+        # the sharded loop carries no stop state — scenes run the full
+        # budget; the single-device paths implement the exact stopping
+        log.warning("multichip path ignores training.early_stopping=%s; "
+                    "scenes run all %d iterations",
+                    settings.early_stopping, opt_cfg.iterations)
+
     records = [rec for _, rec in dataset_loader]
     n_dev = len(jax.devices())
     nviews = len(records[0].cameras)
