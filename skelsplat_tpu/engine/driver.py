@@ -432,7 +432,7 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
     """Shard batches of scenes over a (scenes × views) device mesh
     (training.multichip=true + training.scene_batch>1). Views split over
     the 'views' axis when divisible; scenes over the rest of the devices."""
-    from skelsplat_tpu.parallel import make_mesh
+    from skelsplat_tpu.parallel import choose_mesh, make_mesh
     from skelsplat_tpu.parallel.mesh import multichip_optimize
 
     if settings.early_stopping != "no_stopping":
@@ -445,8 +445,7 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
     records = [rec for _, rec in dataset_loader]
     n_dev = len(jax.devices())
     nviews = len(records[0].cameras)
-    views_axis = nviews if n_dev % nviews == 0 else 1
-    scenes_axis = n_dev // views_axis
+    scenes_axis, views_axis = choose_mesh(n_dev, nviews)
     mesh = make_mesh(scenes_axis, views_axis)
     log.info(f"multichip mesh: {dict(mesh.shape)}")
 

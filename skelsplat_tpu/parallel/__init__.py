@@ -1,4 +1,6 @@
-from skelsplat_tpu.parallel.mesh import (make_mesh, multichip_train_step,
+from skelsplat_tpu.parallel.mesh import (choose_mesh, make_mesh,
+                                         multichip_train_step,
                                          batch_scene_records)
 
-__all__ = ["make_mesh", "multichip_train_step", "batch_scene_records"]
+__all__ = ["choose_mesh", "make_mesh", "multichip_train_step",
+           "batch_scene_records"]

@@ -38,6 +38,22 @@ from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
                                              pallas_view_profiles)
 
 
+def choose_mesh(n_devices: int, nviews: int) -> tuple[int, int]:
+    """Factor ``n_devices`` into (scenes_axis, views_axis).
+
+    One policy for every call site (driver + __graft_entry__): the views
+    axis takes the largest divisor of ``nviews`` that also divides
+    ``n_devices`` — full view-parallelism when the counts line up (8 devs ×
+    4 views → 2×4), graceful fallback otherwise (6 devs × 4 views → 3×2;
+    5 devs → 5×1). scenes_axis · views_axis == n_devices always.
+    """
+    if n_devices <= 0 or nviews <= 0:
+        raise ValueError(f"need positive counts, got {n_devices=} {nviews=}")
+    views_axis = max(d for d in range(1, nviews + 1)
+                     if nviews % d == 0 and n_devices % d == 0)
+    return n_devices // views_axis, views_axis
+
+
 def make_mesh(n_scenes: int, n_views: int, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_scenes * n_views > devices.size:

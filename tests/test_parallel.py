@@ -10,7 +10,7 @@ import pytest
 from skelsplat_tpu.core.gaussians import SkeletonModel
 from skelsplat_tpu.engine.optim import OptConfig
 from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
-from skelsplat_tpu.parallel import make_mesh, multichip_train_step
+from skelsplat_tpu.parallel import choose_mesh, make_mesh, multichip_train_step
 from skelsplat_tpu.parallel.mesh import scene_batch_extents
 from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, project_np
 
@@ -34,6 +34,24 @@ def batch():
     p2d_b = np.stack([s[2] for s in scenes])
     cams_b = jax.tree.map(lambda x: np.stack([x, x]), cams)
     return initial_b, gt_b, p2d_b, cams_b
+
+
+def test_choose_mesh_factoring():
+    """One policy for every call site (driver + __graft_entry__): views take
+    the largest divisor of nviews that divides n_devices."""
+    assert choose_mesh(8, 4) == (2, 4)
+    assert choose_mesh(4, 4) == (1, 4)
+    assert choose_mesh(6, 4) == (3, 2)   # odd device count: fall back to 2
+    assert choose_mesh(2, 4) == (1, 2)
+    assert choose_mesh(5, 4) == (5, 1)   # coprime: scenes only
+    assert choose_mesh(8, 5) == (8, 1)
+    assert choose_mesh(10, 5) == (2, 5)
+    assert choose_mesh(1, 4) == (1, 1)
+    for n_dev, nv in [(2, 4), (4, 4), (6, 4), (8, 4), (8, 5), (12, 6)]:
+        s, v = choose_mesh(n_dev, nv)
+        assert s * v == n_dev and nv % v == 0
+    with pytest.raises(ValueError):
+        choose_mesh(0, 4)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
