@@ -48,6 +48,24 @@ ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1.0e-4
 
 
+@jax.custom_jvp
+def alpha_clamp(x):
+    """α = min(ALPHA_MAX, x) with the gradient passing straight through the
+    clamp — the reference's hand-written backward chains
+    dL_dG = opa·dL_dα (backward.cu:619) and dL_dopacity = G·dL_dα
+    (backward.cu:635) with no clamp gate, so a saturated splat (opacity
+    pinned at 1.0 puts every pixel within ~0.14σ of a center over the
+    clamp) still feeds gradient to its screen-space quantities. Plain
+    jnp.minimum autodiff would zero those; reproduce the quirk exactly."""
+    return jnp.minimum(ALPHA_MAX, x)
+
+
+@alpha_clamp.defjvp
+def _alpha_clamp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jnp.minimum(ALPHA_MAX, x), dx
+
+
 # ---------------------------------------------------------------------------
 # Host-side camera matrix construction (numpy; mirrors utils/graphics_utils.py)
 # ---------------------------------------------------------------------------

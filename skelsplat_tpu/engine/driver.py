@@ -124,6 +124,24 @@ def _save_heatmaps(gt_heatmaps, output_dir: str, name: str = "heatmap"):
             f"{output_dir}/heatmaps/{name}_{v}.png")
 
 
+def _log_tb_history(tb_writer, subject, activity, step, losses_k, err_k,
+                    err_rel_k, accum):
+    """Per-macro TB scalars with the reference's tag names (train.py:260-276)
+    — shared by the per-scene, batched and multichip paths."""
+    if tb_writer is None:
+        return
+    tb_string = f"Subject_{subject}_Activity_{activity}/Step_{step}"
+    K = np.asarray(losses_k).shape[0]
+    for k in range(K):
+        it = (k + 1) * accum
+        tb_writer.add_scalar("train_loss_patches/total_loss",
+                             float(np.asarray(losses_k)[k].mean()), it)
+        tb_writer.add_scalar(tb_string + "/absolute_error",
+                             float(np.asarray(err_k)[k].mean()), it)
+        tb_writer.add_scalar(tb_string + "/relative_error",
+                             float(np.asarray(err_rel_k)[k].mean()), it)
+
+
 def training(dataset, model_group, opt_group, pipe, debug, training_group,
              dataset_loader: DataLoader, output_dir: str, log=log):
     """Port of train.py:56-244. Returns per-scene summary dicts."""
@@ -176,10 +194,10 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     total_opt_seconds = 0.0
 
     multichip = bool(getattr(training_group, "multichip", False))
-    if multichip and len(jax.devices()) > 1 and batchable:
+    if multichip and len(jax.devices()) > 1:
         return _training_multichip(dataset, dataset_loader, model, opt_cfg,
                                    settings, pipe, save_iterations,
-                                   output_dir, log)
+                                   output_dir, tb_writer, log)
     if batchable:
         return _training_batched(dataset, dataset_loader, model, opt_cfg,
                                  settings, pipe, debug, save_iterations,
@@ -296,18 +314,9 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         log.info(f"Scene {record.scene_name}: "
                  f"abs {err.mean():.2f} rel {err_rel.mean():.2f} "
                  f"({dt:.2f}s)")
-        if tb_writer is not None:
-            tb_string = f"Subject_{subject}_Activity_{activity}/Step_{step}"
-            K = np.asarray(history.losses).shape[0]
-            accum = settings.accumulation_steps
-            for k in range(K):
-                it = (k + 1) * accum
-                tb_writer.add_scalar("train_loss_patches/total_loss",
-                                     float(np.asarray(history.losses)[k].mean()), it)
-                tb_writer.add_scalar(tb_string + "/absolute_error",
-                                     float(np.asarray(history.error)[k].mean()), it)
-                tb_writer.add_scalar(tb_string + "/relative_error",
-                                     float(np.asarray(history.error_rel)[k].mean()), it)
+        _log_tb_history(tb_writer, subject, activity, step, history.losses,
+                        history.error, history.error_rel,
+                        settings.accumulation_steps)
 
         if debug.save_images:
             _save_images(trainer, params, cameras, output_dir, "render")
@@ -335,10 +344,10 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
                       pipe, debug, save_iterations, scene_batch, output_dir,
                       tb_writer, log):
-    # tb_writer/debug accepted for interface symmetry with the per-scene
-    # loop; the batched path reports through the summary json + log only.
     """Throughput scene loop: group same-shape scenes into vmapped batches
-    (bitwise-identical per-scene results; see tests)."""
+    (bitwise-identical per-scene results; see tests). Per-macro TB curves
+    are logged from the batched history, so throughput mode keeps the
+    per-scene path's observability."""
     records = [rec for _, rec in dataset_loader]
     results = []
     trainers: dict[tuple, SceneTrainer] = {}
@@ -406,6 +415,11 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
                 rec.scene_name, dataset.data_root)
             if subject == "S9" and activity in S9_BAD:
                 err = np.zeros_like(err)
+            _log_tb_history(tb_writer, subject, activity, step,
+                            np.asarray(hist_b.losses)[b],
+                            np.asarray(hist_b.error)[b],
+                            np.asarray(hist_b.error_rel)[b],
+                            settings.accumulation_steps)
             results.append({
                 "scene_id": rec.scene_id,
                 "scene_name": rec.scene_name,
@@ -428,19 +442,15 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
 
 
 def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
-                        pipe, save_iterations, output_dir, log):
+                        pipe, save_iterations, output_dir, tb_writer, log):
     """Shard batches of scenes over a (scenes × views) device mesh
-    (training.multichip=true + training.scene_batch>1). Views split over
-    the 'views' axis when divisible; scenes over the rest of the devices."""
+    (training.multichip=true). Views split over the 'views' axis when
+    divisible; scenes over the rest of the devices. Full single-chip
+    feature parity: the mesh step runs the shared compose_macro, so early
+    stopping, dropout, noise, general accumulation windows, stop-aware
+    checkpoint saves and per-macro telemetry all match train.py:155-233."""
     from skelsplat_tpu.parallel import choose_mesh, make_mesh
     from skelsplat_tpu.parallel.mesh import multichip_optimize
-
-    if settings.early_stopping != "no_stopping":
-        # the sharded loop carries no stop state — scenes run the full
-        # budget; the single-device paths implement the exact stopping
-        log.warning("multichip path ignores training.early_stopping=%s; "
-                    "scenes run all %d iterations",
-                    settings.early_stopping, opt_cfg.iterations)
 
     records = [rec for _, rec in dataset_loader]
     n_dev = len(jax.devices())
@@ -469,30 +479,69 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
                 antialiasing=bool(pipe.antialiasing))
         trainer = trainers[key]
         init_b = np.stack([r.pose_3d for r in group_p]).astype(np.float32)
+        gt_b = np.stack([r.pose_3d_gt for r in group_p]).astype(np.float32)
         p2d_b = np.stack([np.asarray(r.poses_2d, np.float32)[..., :2]
                           for r in group_p])
         cams_b = jax.tree.map(lambda *xs: np.stack(xs), *cams_list)
+
+        drop_b = None
+        if settings.dropout:
+            # one torch global-RNG draw per REAL scene, in dataset order
+            # (general_utils.py:267-271); pad scenes reuse the last mask so
+            # the RNG stays in dataset-order sync
+            from skelsplat_tpu.ops.heatmaps import dropout_masks_torch
+            masks = [dropout_masks_torch(nviews, p2d_b.shape[2])
+                     for _ in group]
+            drop_b = np.stack(masks + [masks[-1]] * pad)
+
+        # buffer checkpoints so early-stopped scenes can be saved under
+        # their stop iteration (train.py:227-233)
+        pending_saves = []
+        buffer_ckpt = lambda it, prm: pending_saves.append((it, prm))
+
         t0 = time.perf_counter()
-        params_b, losses = multichip_optimize(mesh, trainer, init_b, p2d_b,
-                                              cams_b)
+        params_b, hist_b = multichip_optimize(
+            mesh, trainer, init_b, p2d_b, cams_b, gt_b, drop_b=drop_b,
+            checkpoint_iterations=save_iterations, checkpoint_fn=buffer_ckpt)
         jax.block_until_ready(params_b.xyz)
         dt = time.perf_counter() - t0
         total += dt
-        for b, rec in enumerate(group):
+
+        def save_ply_at(iteration, prm_b, b, name):
             path = os.path.join(output_dir, "point_cloud",
-                                f"iteration_{opt_cfg.iterations}",
-                                f"{rec.scene_name}.ply")
+                                f"iteration_{iteration}", f"{name}.ply")
             ply.write_gaussian_ply(
-                path, np.asarray(params_b.xyz[b]),
-                np.asarray(params_b.log_scales[b]),
-                np.asarray(params_b.quats[b]),
-                np.asarray(params_b.opacity_logit[b]))
-            err = np.linalg.norm(np.asarray(params_b.xyz[b])
-                                 - rec.pose_3d_gt, axis=1)
+                path, np.asarray(prm_b.xyz[b]),
+                np.asarray(prm_b.log_scales[b]),
+                np.asarray(prm_b.quats[b]),
+                np.asarray(prm_b.opacity_logit[b]))
+
+        for b, rec in enumerate(group):
+            stop_b = int(np.asarray(hist_b.stopped_at)[b])
+            for it, prm_b in pending_saves:
+                if stop_b and it >= stop_b:
+                    # post-stop params froze at their stop-time values
+                    save_ply_at(stop_b, prm_b, b, rec.scene_name)
+                    break
+                save_ply_at(it, prm_b, b, rec.scene_name)
+
+            err = np.asarray(hist_b.error)[b, -1]
+            err_rel = np.asarray(hist_b.error_rel)[b, -1]
+            subject, activity, step = _parse_scene_name(
+                rec.scene_name, dataset.data_root)
+            if subject == "S9" and activity in S9_BAD:
+                err = np.zeros_like(err)
+            _log_tb_history(tb_writer, subject, activity, step,
+                            np.asarray(hist_b.losses)[b],
+                            np.asarray(hist_b.error)[b],
+                            np.asarray(hist_b.error_rel)[b],
+                            settings.accumulation_steps)
             results.append({
                 "scene_id": rec.scene_id, "scene_name": rec.scene_name,
                 "abs_error": float(err.mean()),
-                "seconds": dt / len(group)})
+                "rel_error": float(err_rel.mean()),
+                "seconds": dt / len(group),
+                "stopped_at": stop_b})
         log.info(f"mesh batch of {len(group)}: {dt:.2f}s")
         i += scenes_axis
     n = max(len(results), 1)

@@ -77,6 +77,111 @@ def stop_offset(hist8, cur, k1, tol):
     return stop_now, m_star, full[A:]
 
 
+def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
+                  general: bool, carry, k, losses_v, grads_v, idxs,
+                  pose_3d_gt, spatial_lr_scale):
+    """One macro step's gradient composition + Adam update + telemetry —
+    the exact reference semantics (train.py:155-233), shared by the
+    single-chip scan and the multi-chip mesh step (which feeds it
+    all-gathered per-view losses/grads so every shard composes
+    identically).
+
+    ``carry`` = (params, opt_state, [hist8,] stopped[, acc_gx]);
+    ``losses_v``/``grads_v``: the A visited views' losses/grads in visit
+    order; ``idxs``: their global view indices. Returns (new_carry, rec)
+    with rec = (losses_v, err, err_rel, stop_mark).
+    """
+    acc_gx = None
+    if general or use_stop:
+        carry, acc_gx = carry[:-1], carry[-1]
+    if use_stop:
+        params, opt_state, hist8, stopped = carry
+    else:
+        params, opt_state, stopped = carry
+
+    if use_stop:
+        # Exact OptEarlyStopping: the per-iteration loss history is the
+        # concatenation of the per-macro loss vectors (params constant
+        # within a macro step); a mid-macro stop at offset m steps with the
+        # reference's mixed gradients: accumulated_grads rows of views
+        # visited at offsets < m this macro are fresh, every other row
+        # keeps its stale (or zero-init) value (train.py:121,155,175,215 —
+        # accumulated_grads is never zeroed).
+        stop_now, m_star, hist8 = stop_offset(
+            hist8, losses_v, k + 1, REPEAT_TOL)
+        if general:
+            # sequential writes so duplicate visits and the offset cutoff
+            # both resolve exactly as the loop does
+            for j in range(V_accum):
+                acc_gx = acc_gx.at[idxs[j]].set(jnp.where(
+                    j < m_star, grads_v.xyz[j], acc_gx[idxs[j]]))
+        else:
+            row_new = (jnp.arange(V_accum)[:, None, None] < m_star)
+            acc_gx = jnp.where(row_new, grads_v.xyz, acc_gx)
+        g_xyz = jnp.mean(acc_gx, axis=0)
+        oidx = m_star - 1            # == V_accum-1 when not stopping
+        grads = GaussianParams(
+            xyz=g_xyz,
+            log_scales=grads_v.log_scales[oidx],
+            quats=grads_v.quats[oidx],
+            opacity_logit=grads_v.opacity_logit[oidx],
+        )
+        iteration = k * V_accum + m_star
+    else:
+        # view fusion (train.py:175-179, 215-218): mean for xyz, last
+        # rendered view for the other groups.
+        stop_now = jnp.asarray(False)
+        if general:
+            acc_gx = acc_gx.at[idxs].set(grads_v.xyz)
+            g_xyz = jnp.mean(acc_gx, axis=0)
+        else:
+            g_xyz = jnp.mean(grads_v.xyz, axis=0)
+        last = V_accum - 1
+        grads = GaussianParams(
+            xyz=g_xyz,
+            log_scales=grads_v.log_scales[last],
+            quats=grads_v.quats[last],
+            opacity_logit=grads_v.opacity_logit[last],
+        )
+        iteration = (k + 1) * V_accum
+
+    new_params, new_opt = adam.step(
+        params, grads, opt_state, iteration, spatial_lr_scale)
+
+    apply = jnp.logical_not(stopped)
+    sel = lambda a, b: jnp.where(apply, a, b)
+    params2 = jax.tree.map(sel, new_params, params)
+    opt2 = jax.tree.map(sel, new_opt, opt_state)
+    stopped2 = stopped | (stop_now & apply)
+
+    # telemetry (train.py:184-205)
+    pred = params2.xyz
+    err = jnp.linalg.norm(pred - pose_3d_gt, axis=1)
+    err_rel = jnp.linalg.norm(
+        (pred - pred[0]) - (pose_3d_gt - pose_3d_gt[0]), axis=1)
+    rec = (losses_v, err, err_rel,
+           jnp.where(stop_now & apply, iteration, 0))
+    if use_stop:
+        new_carry = (params2, opt2, hist8, stopped2)
+    else:
+        new_carry = (params2, opt2, stopped2)
+    if general or use_stop:
+        new_carry = new_carry + (acc_gx,)
+    return new_carry, rec
+
+
+def init_macro_carry(params, opt_state, nviews: int, use_stop: bool,
+                     general: bool):
+    """The scan carry matching compose_macro's layout (train.py:121:
+    accumulated_grads starts at zero and persists across macro steps)."""
+    acc0 = (jnp.zeros((nviews,) + params.xyz.shape, jnp.float32),) \
+        if (general or use_stop) else ()
+    if use_stop:
+        hist8 = jnp.full((8,), jnp.inf, jnp.float32)
+        return (params, opt_state, hist8, jnp.asarray(False)) + acc0
+    return (params, opt_state, jnp.asarray(False)) + acc0
+
+
 def cameras_extent(cameras: Camera) -> float:
     """The per-scene spatial LR scale: 1.1 × max distance of the camera
     centers from their centroid (getNerfppNorm, dataset_readers.py:482-503 →
@@ -213,17 +318,8 @@ class SceneTrainer:
             opt_state = self.adam.init(params)
             nviews = poses_2d.shape[0]
             general = V_accum != nviews
-            # accumulated_grads rows persist across macro steps and start at
-            # zero (train.py:121) — needed whenever a step can mix stale rows
-            # in: unvisited views (general) or a mid-macro stop (use_stop).
-            acc0 = (jnp.zeros((nviews,) + params.xyz.shape, jnp.float32),) \
-                if (general or use_stop) else ()
-            if use_stop:
-                hist8 = jnp.full((8,), jnp.inf, jnp.float32)
-                carry = (params, opt_state, hist8,
-                         jnp.asarray(False)) + acc0
-            else:
-                carry = (params, opt_state, jnp.asarray(False)) + acc0
+            carry = init_macro_carry(params, opt_state, nviews, use_stop,
+                                     general)
             return carry, view_aux
 
         def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
@@ -259,14 +355,7 @@ class SceneTrainer:
                     p, cams_k, aux_k, p2_k)
 
             def macro_step(carry, k):
-                acc_gx = None
-                if general or use_stop:
-                    carry, acc_gx = carry[:-1], carry[-1]
-                if use_stop:
-                    params, opt_state, hist8, stopped = carry
-                else:
-                    params, opt_state, stopped = carry
-
+                params = carry[0]
                 if general:
                     # accumulation window ≠ view count: the reference's
                     # round-robin visits views (k·A+j) mod V during macro k
@@ -279,78 +368,10 @@ class SceneTrainer:
                 else:
                     idxs = jnp.arange(V_accum, dtype=jnp.int32)
                     losses_v, grads_v = per_view_grads(params)
-
-                if use_stop:
-                    # Exact OptEarlyStopping: the per-iteration loss history
-                    # is the concatenation of the per-macro loss vectors
-                    # (params constant within a macro step); a mid-macro stop
-                    # at offset m steps with the reference's mixed gradients:
-                    # accumulated_grads rows of views visited at offsets < m
-                    # this macro are fresh, every other row keeps its stale
-                    # (or zero-init) value (train.py:121,155,175,215 —
-                    # accumulated_grads is never zeroed).
-                    stop_now, m_star, hist8 = stop_offset(
-                        hist8, losses_v, k + 1, REPEAT_TOL)
-                    if general:
-                        # sequential writes so duplicate visits and the
-                        # offset cutoff both resolve exactly as the loop does
-                        for j in range(V_accum):
-                            acc_gx = acc_gx.at[idxs[j]].set(jnp.where(
-                                j < m_star, grads_v.xyz[j], acc_gx[idxs[j]]))
-                    else:
-                        row_new = (jnp.arange(V_accum)[:, None, None]
-                                   < m_star)
-                        acc_gx = jnp.where(row_new, grads_v.xyz, acc_gx)
-                    g_xyz = jnp.mean(acc_gx, axis=0)
-                    oidx = m_star - 1        # == V_accum-1 when not stopping
-                    grads = GaussianParams(
-                        xyz=g_xyz,
-                        log_scales=grads_v.log_scales[oidx],
-                        quats=grads_v.quats[oidx],
-                        opacity_logit=grads_v.opacity_logit[oidx],
-                    )
-                    iteration = k * V_accum + m_star
-                else:
-                    # view fusion (train.py:175-179, 215-218): mean for xyz,
-                    # last rendered view for the other groups.
-                    stop_now = jnp.asarray(False)
-                    if general:
-                        acc_gx = acc_gx.at[idxs].set(grads_v.xyz)
-                        g_xyz = jnp.mean(acc_gx, axis=0)
-                    else:
-                        g_xyz = jnp.mean(grads_v.xyz, axis=0)
-                    last = V_accum - 1
-                    grads = GaussianParams(
-                        xyz=g_xyz,
-                        log_scales=grads_v.log_scales[last],
-                        quats=grads_v.quats[last],
-                        opacity_logit=grads_v.opacity_logit[last],
-                    )
-                    iteration = (k + 1) * V_accum
-
-                new_params, new_opt = self.adam.step(
-                    params, grads, opt_state, iteration, spatial_lr_scale)
-
-                apply = jnp.logical_not(stopped)
-                sel = lambda a, b: jnp.where(apply, a, b)
-                params2 = jax.tree.map(sel, new_params, params)
-                opt2 = jax.tree.map(sel, new_opt, opt_state)
-                stopped2 = stopped | (stop_now & apply)
-
-                # telemetry (train.py:184-205)
-                pred = params2.xyz
-                err = jnp.linalg.norm(pred - pose_3d_gt, axis=1)
-                err_rel = jnp.linalg.norm(
-                    (pred - pred[0]) - (pose_3d_gt - pose_3d_gt[0]), axis=1)
-                rec = (losses_v, err, err_rel,
-                       jnp.where(stop_now & apply, iteration, 0))
-                if use_stop:
-                    new_carry = (params2, opt2, hist8, stopped2)
-                else:
-                    new_carry = (params2, opt2, stopped2)
-                if general or use_stop:
-                    new_carry = new_carry + (acc_gx,)
-                return new_carry, rec
+                return compose_macro(
+                    self.adam, V_accum, nviews, use_stop, general,
+                    carry, k, losses_v, grads_v, idxs,
+                    pose_3d_gt, spatial_lr_scale)
 
             carry, recs = jax.lax.scan(
                 macro_step, carry, k0 + jnp.arange(n_macro))

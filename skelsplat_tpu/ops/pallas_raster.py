@@ -221,10 +221,11 @@ def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref, T_ref, done_ref,
             # recompute E, dx, dy (cheaper than storing them)
             _, _, E, dx, dy, _ = _slot_alpha(g_ref, i, ys, xs,
                                              tile_x, tile_y)
-            # α = min(0.99, opa·E): clamp kills the gradient
-            unclamped = (g_ref[i, IDX_OPA] * E) < geometry.ALPHA_MAX
-            dalpha = jnp.where(unclamped, dalpha, 0.0)
-            dpower = dalpha * a_i      # dα/dpower = opa·E = α (unclamped)
+            # α = min(0.99, opa·E): the reference backward chains through
+            # the clamp unconditionally (backward.cu:619 dL_dG=opa·dL_dα,
+            # :635 dL_dopacity=G·dL_dα) — so dα/dpower is the UNCLAMPED
+            # product opa·E, with no clamp gate on dalpha.
+            dpower = dalpha * (g_ref[i, IDX_OPA] * E)
             a_c = g_ref[i, IDX_CA]
             b_c = g_ref[i, IDX_CB]
             c_c = g_ref[i, IDX_CC]

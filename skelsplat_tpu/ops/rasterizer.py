@@ -21,7 +21,10 @@ general feature matmul for test parity with arbitrary features.
 Gradients come from JAX autodiff of this forward, which by construction
 matches the reference's hand-written backward (backward.cu implements the
 analytic adjoint of the same forward; gate discontinuities carry no gradient
-in either system).
+in either system) — with one deliberate exception: the reference chains
+through the α = min(0.99, opa·G) clamp unconditionally (backward.cu:619,635),
+so the clamp here is a straight-through ``geometry.alpha_clamp`` rather than
+a plain ``jnp.minimum``.
 """
 
 from __future__ import annotations
@@ -98,8 +101,9 @@ def composite_weights(pp: Preprocessed, dx, dy, tile_gate):
     bshape = (slice(None),) + (None,) * (dx.ndim - 1)
     power = (-0.5 * (a_c[bshape] * dx * dx + c_c[bshape] * dy * dy)
              - b_c[bshape] * dx * dy)
-    alpha = jnp.minimum(geometry.ALPHA_MAX,
-                        pp.opacity_eff[bshape] * jnp.exp(power))
+    # straight-through clamp: gradient flows through min(0.99, ·)
+    # unconditionally, as in backward.cu:619/635 (see geometry.alpha_clamp)
+    alpha = geometry.alpha_clamp(pp.opacity_eff[bshape] * jnp.exp(power))
     gate = (pp.valid[bshape] & (power <= 0.0)
             & (alpha >= geometry.ALPHA_MIN) & tile_gate)
 

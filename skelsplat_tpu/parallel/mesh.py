@@ -9,12 +9,14 @@ mean (train.py:215-218). The TPU-native mapping:
   across chips/hosts with no communication at all (rides DCN when spanning
   hosts).
 * ``views`` mesh axis — model-ish parallelism: each shard renders its slice
-  of the cameras; the xyz-gradient mean becomes a ``psum`` over ICI, and the
-  reference's quirky "scale/rot/opacity step on the LAST view's gradient"
-  becomes a masked psum (select the owner shard, broadcast by summation).
+  of the cameras (the heavy render+VJP work), then ``all_gather``s the tiny
+  per-view loss/gradient summaries over ICI and runs the identical
+  single-chip macro composition (``trainer.compose_macro``) — so early
+  stopping, general accumulation windows, and the reference's quirky
+  mean-xyz / last-view gradient fusion hold on the mesh bit-for-bit.
 
 Every shard then runs the identical Adam update on replicated parameters —
-no parameter resharding, ICI traffic per macro step is O(N·10) floats.
+no parameter resharding, ICI traffic per macro step is O(V·N·10) floats.
 
 Built with ``jax.shard_map`` over an explicit ``jax.sharding.Mesh`` so the
 same program runs on a real pod slice or on a host-platform CPU mesh
@@ -29,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from skelsplat_tpu.core.gaussians import GaussianParams
 from skelsplat_tpu.engine.trainer import (SceneTrainer, cameras_extent,
+                                          compose_macro, init_macro_carry,
                                           init_params_jnp)
 from skelsplat_tpu.ops import heatmaps as hm
 from skelsplat_tpu.ops.fused import make_fused_view_loss
@@ -79,12 +81,25 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
     """Build a jitted full training macro-step sharded over the mesh.
 
     Returns ``(prepare, step)``:
-      prepare(initial_b, poses_2d_b, cams_b)   → sharded (state, aux)
-      step(state, aux, poses_2d_b, cams_b, k)  → (state, per-view losses)
+      prepare(initial_b, poses_2d_b, cams_b, drop_b) → (carry, view_aux)
+      step(carry, view_aux, poses_2d_b, cams_b, extent_b, gt_b, k)
+                                                     → (carry, rec)
 
     Scene-batch leaves shard over "scenes"; the view axis of cameras /
-    detections / heatmap state shards over "views". Parameters and optimizer
-    state are replicated along "views" and sharded along "scenes".
+    detections / heatmap state shards over "views". The carry (params,
+    optimizer state, early-stop history, accumulated-grad rows) is
+    replicated along "views" and sharded along "scenes".
+
+    Semantics are EXACTLY the single-chip trainer's: each view shard runs
+    the heavy per-view render+VJP locally, then the tiny per-view loss and
+    gradient summaries (O(V·N·10) floats) are ``all_gather``-ed over the
+    views axis (ICI) and every shard runs the identical
+    ``trainer.compose_macro`` — the same function the single-chip scan
+    uses — so early stopping (mid-macro straddle windows, mixed stale
+    gradients), general accumulation_steps ≠ nviews round-robin, and the
+    mean-xyz/last-view fusion (train.py:155-233) all hold on the mesh
+    bit-for-bit. Replicated composition costs nothing: the update is
+    O(N·10) flops against a multi-megapixel render stage.
     """
     model = trainer.model
     settings = trainer.settings
@@ -92,6 +107,7 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
     adam = trainer.adam
     accum = settings.accumulation_steps
     n_view_shards = mesh.shape["views"]
+    use_stop = settings.early_stopping == "opt_early_stopping"
     use_pallas = trainer.renderer == "pallas"
 
     if use_pallas:
@@ -105,119 +121,166 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
         view_loss = lambda p, cam, aux, p2: _fused(p, cam, aux, p2)
 
     # ---- specs ----
-    scene_sharded = P("scenes")                 # params/opt: batch axis only
+    scene_sharded = P("scenes")                 # carry: batch axis only
     view_sharded = P("scenes", "views")         # (B, V, ...) arrays
 
-    def _prepare_local(initial, poses_2d, cams):
-        """Per (scene-shard, view-shard) block: params replicated across the
+    def _prepare_local(initial, poses_2d, cams, drop):
+        """Per (scene-shard, view-shard) block: carry replicated across the
         view axis; heatmap spec computed for the local views only."""
-        def one_scene(init_p, p2d, cam):
+        def one_scene(init_p, p2d, cam, dm):
             params = init_params_jnp(init_p, model.scene_type, model.scaling,
                                      model.scaling_modifier)
             cov6 = params.covariance()
-            drop = jnp.zeros(p2d.shape[:2], dtype=bool)
             spec = hm.heatmap_spec(params.xyz, cov6, p2d, cam, W, H,
-                                   drop_mask=drop)
+                                   drop_mask=dm)
             if use_pallas:
                 profs = jax.vmap(
                     lambda sv: pallas_view_profiles(sv, W, H))(spec)
-                return params, adam.init(params), (spec, profs)
-            return params, adam.init(params), spec
-        return jax.vmap(one_scene)(initial, poses_2d, cams)
+                view_aux = (spec, profs)
+            else:
+                view_aux = spec
+            nviews_g = p2d.shape[0] * n_view_shards
+            general = accum != nviews_g
+            carry = init_macro_carry(params, adam.init(params), nviews_g,
+                                     use_stop, general)
+            return carry, view_aux
+        return jax.vmap(one_scene)(initial, poses_2d, cams, drop)
 
-    def _step_local(params, opt_state, spec, poses_2d, cams, extent, k):
+    def _step_local(carry, view_aux, poses_2d, cams, extent, gt, k):
         """One macro step on the local (scenes_blk, views_blk) block."""
-        def one_scene(params, opt_state, spec, p2d, cam, ext):
+        nviews_g = poses_2d.shape[1] * n_view_shards
+        general = accum != nviews_g
+
+        def one_scene(carry, aux, p2d, cam, ext, g3d):
+            params = carry[0]
             f = jax.value_and_grad(view_loss)
-            losses_v, grads_v = jax.vmap(f, in_axes=(None, 0, 0, 0))(
-                params, cam, spec, p2d)
-            v_loc = p2d.shape[0]
-            # global mean over views: local sum / V_global, psum'd below
-            g_xyz_part = jnp.sum(grads_v.xyz, axis=0)
-            # reference semantics: scale/rot/opacity take the LAST global
-            # view's gradient (train.py:175-179) — owned by the last shard
-            is_last_shard = jax.lax.axis_index("views") == n_view_shards - 1
-            sel = jnp.where(is_last_shard, 1.0, 0.0)
-            g_other = jax.tree.map(
-                lambda g: sel * g[v_loc - 1],
-                GaussianParams(grads_v.xyz, grads_v.log_scales,
-                               grads_v.quats, grads_v.opacity_logit))
-            return losses_v, g_xyz_part, g_other
+            losses_loc, grads_loc = jax.vmap(f, in_axes=(None, 0, 0, 0))(
+                params, cam, aux, p2d)
+            # the only collectives: gather the per-view summaries over the
+            # views axis (ICI) so every shard composes identically
+            gather = lambda x: jax.lax.all_gather(x, "views", axis=0,
+                                                  tiled=True)
+            losses_all = gather(losses_loc)            # (V_global,)
+            grads_all = jax.tree.map(gather, grads_loc)
+            if general:
+                # round-robin window (train.py:136): visit views
+                # (k·A+j) mod V during macro k, in visit order
+                idxs = (k * accum
+                        + jnp.arange(accum, dtype=jnp.int32)) % nviews_g
+                losses_vis = jnp.take(losses_all, idxs, axis=0)
+                grads_vis = jax.tree.map(
+                    lambda g: jnp.take(g, idxs, axis=0), grads_all)
+            else:
+                idxs = jnp.arange(accum, dtype=jnp.int32)
+                losses_vis, grads_vis = losses_all, grads_all
+            return compose_macro(adam, accum, nviews_g, use_stop, general,
+                                 carry, k, losses_vis, grads_vis, idxs,
+                                 g3d, ext)
 
-        losses_v, g_xyz_part, g_other = jax.vmap(one_scene)(
-            params, opt_state, spec, poses_2d, cams, extent)
-
-        # ---- the only collectives: over the views axis (ICI) ----
-        v_global = jnp.asarray(
-            poses_2d.shape[1] * n_view_shards, jnp.float32)
-        g_xyz = jax.lax.psum(g_xyz_part, "views") / v_global
-        g_other = jax.tree.map(lambda g: jax.lax.psum(g, "views"), g_other)
-
-        grads = GaussianParams(
-            xyz=g_xyz, log_scales=g_other.log_scales,
-            quats=g_other.quats, opacity_logit=g_other.opacity_logit)
-        iteration = (k + 1) * accum
-        new_params, new_opt = jax.vmap(
-            lambda p, g, s, e: adam.step(p, g, s, iteration, e)
-        )(params, grads, opt_state, extent)
-        return new_params, new_opt, losses_v
+        return jax.vmap(one_scene)(carry, view_aux, poses_2d, cams, extent,
+                                   gt)
 
     prepare_sm = jax.shard_map(
         _prepare_local, mesh=mesh,
-        in_specs=(scene_sharded, view_sharded, view_sharded),
-        out_specs=(scene_sharded, scene_sharded, view_sharded),
+        in_specs=(scene_sharded, view_sharded, view_sharded, view_sharded),
+        out_specs=(scene_sharded, view_sharded),
         check_vma=False)
 
     step_sm = jax.shard_map(
         _step_local, mesh=mesh,
-        in_specs=(scene_sharded, scene_sharded, view_sharded, view_sharded,
-                  view_sharded, scene_sharded, P()),
-        out_specs=(scene_sharded, scene_sharded, view_sharded),
+        in_specs=(scene_sharded, view_sharded, view_sharded, view_sharded,
+                  scene_sharded, scene_sharded, P()),
+        out_specs=(scene_sharded, scene_sharded),
         check_vma=False)
 
-    @jax.jit
-    def prepare(initial_b, poses_2d_b, cams_b):
-        params, opt_state, spec = prepare_sm(initial_b, poses_2d_b, cams_b)
-        return params, opt_state, spec
-
-    @jax.jit
-    def step(params, opt_state, spec, poses_2d_b, cams_b, extent_b, k):
-        return step_sm(params, opt_state, spec, poses_2d_b, cams_b,
-                       extent_b, k)
-
+    prepare = jax.jit(prepare_sm)
+    step = jax.jit(step_sm)
     return prepare, step
 
 
 def multichip_optimize(mesh: Mesh, trainer: SceneTrainer, initial_b,
-                       poses_2d_b, cams_b, gt_b=None):
+                       poses_2d_b, cams_b, gt_b=None, drop_b=None,
+                       checkpoint_iterations=(), checkpoint_fn=None):
     """Full multi-chip scene optimization: prepare once, then lax.scan the
     sharded macro step over all iterations — one dispatch for the whole
-    sharded batch. Scene batch size must equal mesh.shape['scenes'] and the
-    view count must split evenly over mesh.shape['views'].
+    sharded batch (split into jit-cached segments at checkpoint
+    boundaries, like the single-chip path). Scene batch size must equal
+    mesh.shape['scenes'] and the view count must split evenly over
+    mesh.shape['views'].
 
-    Returns (params_b, losses (K, B, V_local·shards?) — per-view losses per
-    macro step, gathered)."""
-    initial_b = jnp.asarray(np.asarray(initial_b, np.float32))
+    Mirrors optimize_scene's host-side features: seed-0 noise injection
+    (train.py:80-84), dropout masks via ``drop_b``, and
+    ``checkpoint_fn(iteration, params_b)`` at ``checkpoint_iterations``.
+
+    Returns (params_b, MacroHistory with leading B) — the same telemetry
+    contract as optimize_scene_batch."""
+    import functools
+
+    from skelsplat_tpu.engine.trainer import MacroHistory
+
+    initial_b = np.asarray(initial_b, np.float32)
+    if trainer.settings.std_dev_noise > 0.0:
+        # per-scene seed-0 numpy RNG, exactly optimize_scene's draw
+        noised = []
+        for b in range(initial_b.shape[0]):
+            rng = np.random.default_rng(seed=0)
+            noised.append(initial_b[b] + rng.normal(
+                0.0, trainer.settings.std_dev_noise, initial_b[b].shape))
+        initial_b = np.stack(noised).astype(np.float32)
+    initial_b = jnp.asarray(initial_b)
     poses_2d_b = jnp.asarray(np.asarray(poses_2d_b)[..., :2], jnp.float32)
+    B, nviews = poses_2d_b.shape[:2]
+    if gt_b is None:
+        gt_b = jnp.zeros_like(initial_b)
+    else:
+        gt_b = jnp.asarray(np.asarray(gt_b, np.float32))
+    if drop_b is None:
+        drop_b = jnp.zeros(poses_2d_b.shape[:3], dtype=bool)
+    else:
+        drop_b = jnp.asarray(np.asarray(drop_b), dtype=bool)
     cams_b = jax.tree.map(jnp.asarray, cams_b)
     extent_b = jnp.asarray(scene_batch_extents(cams_b))
+
     prepare, step = multichip_train_step(mesh, trainer)
-    params_b, opt_b, spec_b = prepare(initial_b, poses_2d_b, cams_b)
+    carry, view_aux = prepare(initial_b, poses_2d_b, cams_b, drop_b)
 
-    @jax.jit
-    def run(params_b, opt_b, spec_b, poses_2d_b, cams_b, extent_b):
-        def body(carry, k):
-            params_b, opt_b = carry
-            params_b, opt_b, losses = step(params_b, opt_b, spec_b,
-                                           poses_2d_b, cams_b, extent_b, k)
-            return (params_b, opt_b), losses
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def run_segment(carry, view_aux, p2d, cams, ext, gt, k0, n_seg):
+        def body(c, k):
+            return step(c, view_aux, p2d, cams, ext, gt, k)
+        return jax.lax.scan(body, carry,
+                            k0 + jnp.arange(n_seg, dtype=jnp.int32))
 
-        (params_b, opt_b), losses = jax.lax.scan(
-            body, (params_b, opt_b),
-            jnp.arange(trainer.n_macro, dtype=jnp.int32))
-        return params_b, losses
+    accum = trainer.settings.accumulation_steps
+    rounded = sorted({min(max(it // accum, 0), trainer.n_macro)
+                      for it in checkpoint_iterations})
+    rounded = [b for b in rounded if b > 0]
+    bounds = list(rounded)
+    if not bounds or bounds[-1] != trainer.n_macro:
+        bounds.append(trainer.n_macro)
 
-    return run(params_b, opt_b, spec_b, poses_2d_b, cams_b, extent_b)
+    all_recs = []
+    k0 = 0
+    for b in bounds:
+        n_seg = b - k0
+        if n_seg > 0:
+            carry, recs = run_segment(carry, view_aux, poses_2d_b, cams_b,
+                                      extent_b, gt_b,
+                                      jnp.asarray(k0, jnp.int32), n_seg)
+            all_recs.append(recs)
+            k0 = b
+        if checkpoint_fn is not None and b in rounded:
+            checkpoint_fn(b * accum, carry[0])
+
+    # recs leaves are (K, B, ...) — transpose to the (B, K, ...) batch
+    # convention of optimize_scene_batch
+    losses_k, err_k, err_rel_k, stop_marks = (
+        jnp.swapaxes(jnp.concatenate([r[i] for r in all_recs], axis=0), 0, 1)
+        for i in range(4))
+    history = MacroHistory(
+        losses=losses_k, error=err_k, error_rel=err_rel_k,
+        stopped_at=jnp.max(stop_marks, axis=1))
+    return carry[0], history
 
 
 def scene_batch_extents(cams_b) -> np.ndarray:

@@ -65,16 +65,17 @@ def test_sharded_step_matches_single_device(batch):
     mesh = make_mesh(2, 4)
     prepare, step = multichip_train_step(mesh, trainer)
     extent_b = jnp.asarray(scene_batch_extents(cams_b))
+    camsj = jax.tree.map(jnp.asarray, cams_b)
+    drop_b = jnp.zeros(p2d_b.shape[:3], dtype=bool)
 
-    params_b, opt_b, spec_b = prepare(
-        jnp.asarray(initial_b), jnp.asarray(p2d_b),
-        jax.tree.map(jnp.asarray, cams_b))
+    carry, view_aux = prepare(jnp.asarray(initial_b), jnp.asarray(p2d_b),
+                              camsj, drop_b)
     # two sharded macro steps
     for k in range(2):
-        params_b, opt_b, losses = step(
-            params_b, opt_b, spec_b, jnp.asarray(p2d_b),
-            jax.tree.map(jnp.asarray, cams_b), extent_b,
-            jnp.asarray(k, jnp.int32))
+        carry, rec = step(carry, view_aux, jnp.asarray(p2d_b), camsj,
+                          extent_b, jnp.asarray(gt_b),
+                          jnp.asarray(k, jnp.int32))
+    params_b = carry[0]
 
     # single-device reference: SceneTrainer per scene for 8 iterations
     for b in range(2):
@@ -99,18 +100,21 @@ def test_mesh_shapes_and_sharding(batch):
                            TrainSettings(consistency_loss="none"),
                            W, H, renderer="fused")
     prepare, step = multichip_train_step(mesh, trainer)
-    params_b, opt_b, spec_b = prepare(
+    drop_b = jnp.zeros(p2d_b.shape[:3], dtype=bool)
+    carry, spec_b = prepare(
         jnp.asarray(initial_b), jnp.asarray(p2d_b),
-        jax.tree.map(jnp.asarray, cams_b))
-    # the heatmap spec is sharded over both axes
+        jax.tree.map(jnp.asarray, cams_b), drop_b)
+    # the heatmap spec is sharded over both axes; params over scenes only
     s = spec_b.y0.sharding
     assert "scenes" in str(s.spec) and "views" in str(s.spec)
+    sp = carry[0].xyz.sharding
+    assert "scenes" in str(sp.spec) and "views" not in str(sp.spec)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_multichip_optimize_full_run(batch):
     """Scanned multichip optimization: full run over the mesh matches the
-    single-device trainer."""
+    single-device trainer, history telemetry included."""
     from skelsplat_tpu.parallel.mesh import multichip_optimize
 
     initial_b, gt_b, p2d_b, cams_b = batch
@@ -119,16 +123,88 @@ def test_multichip_optimize_full_run(batch):
                            TrainSettings(consistency_loss="none"),
                            W, H, renderer="fused")
     mesh = make_mesh(2, 4)
-    params_b, losses = multichip_optimize(mesh, trainer, initial_b, p2d_b,
-                                          cams_b)
-    assert losses.shape[0] == 3  # macro steps
+    params_b, hist_b = multichip_optimize(mesh, trainer, initial_b, p2d_b,
+                                          cams_b, gt_b)
+    assert hist_b.losses.shape == (2, 3, NV)   # (B, K, V)
     for b in range(2):
         cams = jax.tree.map(lambda x: x[b], cams_b)
-        p_ref, _ = trainer.optimize_scene(initial_b[b], p2d_b[b], cams,
-                                          gt_b[b])
+        p_ref, h_ref = trainer.optimize_scene(initial_b[b], p2d_b[b], cams,
+                                              gt_b[b])
         np.testing.assert_allclose(np.asarray(params_b.xyz)[b],
                                    np.asarray(p_ref.xyz),
                                    rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(hist_b.losses)[b],
+                                   np.asarray(h_ref.losses),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(hist_b.error)[b],
+                                   np.asarray(h_ref.error),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_early_stopping_and_dropout_parity(batch):
+    """Early stopping + dropout on the mesh must reproduce the single-chip
+    trainer exactly: forced stop (huge tolerance fires the 8-loss window at
+    the earliest gated iteration), per-scene dropout masks, stop-aware
+    frozen params."""
+    import skelsplat_tpu.engine.trainer as trainer_mod
+    from skelsplat_tpu.parallel.mesh import multichip_optimize
+
+    initial_b, gt_b, p2d_b, cams_b = batch
+    rng = np.random.default_rng(11)
+    drop_b = rng.random((2, NV, N_J)) < 0.2
+
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    settings = TrainSettings(consistency_loss="none",
+                             early_stopping="opt_early_stopping",
+                             dropout=True)
+    old_tol = trainer_mod.REPEAT_TOL
+    trainer_mod.REPEAT_TOL = 1e6   # every window "repeats" once gated
+    try:
+        trainer = SceneTrainer(model, OptConfig(iterations=16), settings,
+                               W, H, renderer="fused")
+        mesh = make_mesh(2, 4)
+        params_b, hist_b = multichip_optimize(
+            mesh, trainer, initial_b, p2d_b, cams_b, gt_b, drop_b=drop_b)
+        for b in range(2):
+            cams = jax.tree.map(lambda x: x[b], cams_b)
+            p_ref, h_ref = trainer.optimize_scene(
+                initial_b[b], p2d_b[b], cams, gt_b[b],
+                drop_mask=drop_b[b])
+            assert int(np.asarray(h_ref.stopped_at)) == 8
+            assert (int(np.asarray(hist_b.stopped_at)[b])
+                    == int(np.asarray(h_ref.stopped_at)))
+            np.testing.assert_allclose(np.asarray(params_b.xyz)[b],
+                                       np.asarray(p_ref.xyz),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        trainer_mod.REPEAT_TOL = old_tol
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_general_accumulation_parity(batch):
+    """accumulation_steps ≠ nviews on the mesh: the round-robin window +
+    persistent accumulated_grads rows must match the single-chip trainer."""
+    from skelsplat_tpu.parallel.mesh import multichip_optimize
+
+    initial_b, gt_b, p2d_b, cams_b = batch
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    settings = TrainSettings(consistency_loss="none", accumulation_steps=3)
+    trainer = SceneTrainer(model, OptConfig(iterations=12), settings,
+                           W, H, renderer="fused")
+    mesh = make_mesh(2, 4)
+    params_b, hist_b = multichip_optimize(mesh, trainer, initial_b, p2d_b,
+                                          cams_b, gt_b)
+    for b in range(2):
+        cams = jax.tree.map(lambda x: x[b], cams_b)
+        p_ref, h_ref = trainer.optimize_scene(initial_b[b], p2d_b[b], cams,
+                                              gt_b[b])
+        np.testing.assert_allclose(np.asarray(params_b.xyz)[b],
+                                   np.asarray(p_ref.xyz),
+                                   rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(hist_b.losses)[b],
+                                   np.asarray(h_ref.losses),
+                                   rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

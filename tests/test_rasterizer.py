@@ -177,6 +177,56 @@ def test_gradients_flow_and_finite(scene):
     assert np.abs(np.asarray(g.opacity_logit)).max() == 0.0
 
 
+def test_clamped_alpha_gradient_quirk():
+    """The reference backward chains through α = min(0.99, opa·G)
+    unconditionally (backward.cu:619 dL_dG=opa·dL_dα, :635 dL_dopacity=
+    G·dL_dα): a saturated splat's clamped pixels still feed gradient to
+    mean2D/conic/opacity. geometry.alpha_clamp reproduces this; a plain
+    jnp.minimum would zero it."""
+    cams, W, H = synthetic_rig(n_views=1, width=64, height=64)
+    cam = take_cam(cams, 0)
+    pts = synthetic_skeleton(1, spread=0.0)
+    params = init_params(pts, "h36m", scaling=6.0)  # huge, α-clamped splat
+    # confirm the configuration actually clamps: peak pixel at exactly 0.99
+    out = np.asarray(_render(params, cam, W, H)["render"])
+    yc, xc = np.unravel_index(out[0].argmax(), out[0].shape)
+    assert out[0, yc, xc] == np.float32(0.99)
+
+    def center_pixel(xyz):
+        import dataclasses
+        p = dataclasses.replace(params, xyz=xyz)
+        o = rasterizer.render(p, cam, W, H)
+        return o["render"][0, yc, xc]
+
+    g = jax.grad(center_pixel)(params.xyz)
+    # numerically the clamp is flat here — the reference quirk makes the
+    # analytic gradient the UNCLAMPED chain instead, so it must be nonzero
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0.0
+
+    # single splat, T=1, loss=α ⇒ dα/d(opa·E) = 1 via the straight-through
+    # clamp; check the analytic value against the reference formula
+    # dL_dmean2D ∝ opa·E·(conic terms) evaluated at the UNCLAMPED product.
+    cov6 = params.covariance()
+    pp = rasterizer.preprocess_gaussians(
+        params.xyz, cov6, params.opacity, jax.tree.map(jnp.asarray, cam),
+        W, H)
+    dx = float(pp.pix[0, 0]) - float(xc)
+    dy = float(pp.pix[0, 1]) - float(yc)
+    a_c, b_c, c_c = (float(v) for v in pp.conic[0])
+    power = -0.5 * (a_c * dx * dx + c_c * dy * dy) - b_c * dx * dy
+    opaE = float(pp.opacity_eff[0]) * np.exp(power)
+    assert opaE > geometry.ALPHA_MAX  # really clamped at this pixel
+    dpix = jax.grad(
+        lambda pix: geometry.alpha_clamp(
+            pp.opacity_eff[0] * jnp.exp(
+                -0.5 * (a_c * (pix[0] - xc) ** 2 + c_c * (pix[1] - yc) ** 2)
+                - b_c * (pix[0] - xc) * (pix[1] - yc))))(pp.pix[0])
+    expect = np.array([opaE * (-a_c * dx - b_c * dy),
+                       opaE * (-c_c * dy - b_c * dx)])
+    np.testing.assert_allclose(np.asarray(dpix), expect, rtol=1e-5)
+
+
 def test_grad_check_numerical():
     """check_grads on a tiny scene (first-order, forward+reverse)."""
     from jax.test_util import check_grads

@@ -11,8 +11,11 @@ from skelsplat_tpu.engine.optim import OptConfig
 from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
 from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, project_np
 
-GOLDEN_MPJPE = 52.55567169189453
-GOLDEN_LOSS = 0.04517656937241554
+# Re-recorded after the alpha-clamp gradient fix (backward.cu:619/635 chain
+# through min(0.99,·) unconditionally; geometry.alpha_clamp): the quirk
+# shifts this trajectory by 0.138 mm MPJPE over 100 iterations.
+GOLDEN_MPJPE = 52.693695068359375
+GOLDEN_LOSS = 0.0450650155544281
 
 
 @pytest.fixture(scope="module")
