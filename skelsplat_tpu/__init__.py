@@ -26,13 +26,32 @@ import os as _os
 # embed LLVM machine features, which risk SIGILL when a home dir is shared
 # across heterogeneous hosts (observed live: "+prefer-no-scatter is not
 # supported on the host machine" loads despite the cpuinfo keying below).
-_platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
-if (not _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE")
-        and _platforms not in ("cpu",)):
+_cache_enabled = False
+
+
+def ensure_compile_cache() -> bool:
+    """Enable the persistent compilation cache for non-CPU backends.
+
+    Called lazily (trainer/driver construction) so the gate can consult the
+    RESOLVED backend: when JAX_PLATFORMS is unset, a CPU-only host must not
+    fill the cache with CPU AOT artifacts (the cross-host SIGILL risk), and
+    deciding that from the env var alone is impossible. The import-time call
+    below only acts when JAX_PLATFORMS explicitly names a non-CPU platform
+    (the common remote-TPU setup), which never initializes a backend early.
+    """
+    global _cache_enabled
+    if _cache_enabled or _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE"):
+        return _cache_enabled
     import hashlib as _hashlib
     import platform as _platform
 
     import jax as _jax
+
+    platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
+    if platforms in ("cpu",):
+        return False
+    if not platforms and _jax.default_backend() == "cpu":
+        return False
 
     # key the cache by the host CPU (CPU AOT artifacts embed machine
     # features; a home dir shared across heterogeneous hosts must not mix
@@ -51,7 +70,13 @@ if (not _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE")
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        _cache_enabled = True
     except Exception:
         pass
+    return _cache_enabled
+
+
+if _os.environ.get("JAX_PLATFORMS", "").lower() not in ("", "cpu"):
+    ensure_compile_cache()
 
 from skelsplat_tpu.core import geometry  # noqa: F401

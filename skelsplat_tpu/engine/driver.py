@@ -222,12 +222,25 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         prev = prev_scenes.get(name, {})
         return int(prev.get("stopped_at", 0)) or opt_cfg.iterations
 
+    # the reference constructs OptEarlyStopping ONCE before the scene loop
+    # (train.py:64), so its 8-loss window straddles scene boundaries — carry
+    # the rolling history from scene to scene (skip_existing resumes start
+    # it fresh, like a reference restart)
+    hist8_carry = None
+
     for scene_id, record in dataset_loader:
         if skip_existing and os.path.exists(os.path.join(
                 output_dir, "point_cloud",
                 f"iteration_{_done_iteration(record.scene_name)}",
                 f"{record.scene_name}.ply")):
             log.info(f"Scene {record.scene_name}: already done, skipping")
+            if settings.dropout:
+                # consume this scene's torch global-RNG draw so the masks of
+                # the remaining scenes stay bitwise in dataset-order sync
+                # with a fresh run (general_utils.py:267-271)
+                from skelsplat_tpu.ops.heatmaps import dropout_masks_torch
+                p2d = np.asarray(record.poses_2d)
+                dropout_masks_torch(p2d.shape[0], p2d.shape[1])
             if record.scene_name in prev_scenes:
                 # keep the prior record so the rewritten summary stays whole
                 prev = prev_scenes[record.scene_name]
@@ -289,7 +302,9 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         params, history = trainer.optimize_scene(
             record.pose_3d, record.poses_2d, cameras, record.pose_3d_gt,
             drop_mask=dmask, checkpoint_iterations=save_iterations,
-            checkpoint_fn=buffer_ckpt)
+            checkpoint_fn=buffer_ckpt, hist8_init=hist8_carry)
+        if history.hist8 is not None:
+            hist8_carry = history.hist8
         jax.block_until_ready(params.xyz)
         dt = time.perf_counter() - t0
         total_opt_seconds += dt

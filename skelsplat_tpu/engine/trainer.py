@@ -59,22 +59,30 @@ def stop_offset(hist8, cur, k1, tol):
     is this macro's A per-view losses in visit order. After appending m of
     them, the reference compares the last 4 losses against the previous 4 —
     which is ``full[m+4:m+8]`` vs ``full[m:m+4]`` of the concatenated
-    (8+A,) vector — gated on a total history of ≥ 8 entries.
+    (8+A,) vector. The reference's len(history) ≥ 8 gate is implied by the
+    +inf padding: any window touching a pad entry compares false
+    (|inf−x| = inf, |inf−inf| = nan), so no explicit gate is needed — which
+    also makes a CROSS-SCENE history carry exact (the reference constructs
+    OptEarlyStopping once before the scene loop, train.py:64, so its window
+    straddles scene boundaries; seed the next scene's hist8 with this
+    scene's final one).
 
     Returns (stop_now, m_star, new_hist8) with m_star = A when no stop, so
-    the gradient-composition indices reduce to the normal macro step.
+    the gradient-composition indices reduce to the normal macro step;
+    new_hist8 = the 8 losses ending at the stop offset (the reference
+    breaks its loop there, so later same-macro losses are never recorded),
+    which reduces to full[A:] when not stopping.
     """
     A = cur.shape[0]
     full = jnp.concatenate([hist8, cur])
-    base = (k1 - 1) * A
     conds = []
     for m in range(1, A + 1):
-        c = jnp.all(jnp.abs(full[m:m + 4] - full[m + 4:m + 8]) < tol)
-        conds.append(c & (base + m >= 8))
+        conds.append(
+            jnp.all(jnp.abs(full[m:m + 4] - full[m + 4:m + 8]) < tol))
     conds = jnp.stack(conds)
     stop_now = jnp.any(conds)
     m_star = jnp.where(stop_now, jnp.argmax(conds) + 1, A)
-    return stop_now, m_star, full[A:]
+    return stop_now, m_star, jax.lax.dynamic_slice(full, (m_star,), (8,))
 
 
 def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
@@ -107,8 +115,12 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
         # visited at offsets < m this macro are fresh, every other row
         # keeps its stale (or zero-init) value (train.py:121,155,175,215 —
         # accumulated_grads is never zeroed).
-        stop_now, m_star, hist8 = stop_offset(
+        stop_now, m_star, hist8_new = stop_offset(
             hist8, losses_v, k + 1, REPEAT_TOL)
+        # after a stop the reference exits its loop: no further losses are
+        # recorded, so the carried history freezes at its stop-time value
+        # (what the next scene's OptEarlyStopping window sees, train.py:64)
+        hist8 = jnp.where(stopped, hist8, hist8_new)
         if general:
             # sequential writes so duplicate visits and the offset cutoff
             # both resolve exactly as the loop does
@@ -234,6 +246,10 @@ class MacroHistory:
     error: Any         # (K, N) per-joint absolute error ‖pred−gt‖
     error_rel: Any     # (K, N) root-aligned error
     stopped_at: Any    # scalar int32, iteration of early stop (0 = none)
+    hist8: Any = None  # (8,) final rolling loss history (early stopping
+    #                    only) — seed the NEXT scene's optimize_scene with it
+    #                    to reproduce the reference's cross-scene
+    #                    OptEarlyStopping window (train.py:64)
 
 
 class SceneTrainer:
@@ -246,6 +262,8 @@ class SceneTrainer:
     def __init__(self, model: SkeletonModel, opt: OptConfig,
                  settings: TrainSettings, width: int, height: int,
                  antialiasing: bool = False, renderer: str = "auto"):
+        import skelsplat_tpu
+        skelsplat_tpu.ensure_compile_cache()
         self.model = model
         self.opt = opt
         self.settings = settings
@@ -387,7 +405,8 @@ class SceneTrainer:
     # ------------------------------------------------------------------
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
                        pose_3d_gt=None, drop_key=None, drop_mask=None,
-                       checkpoint_iterations=(), checkpoint_fn=None):
+                       checkpoint_iterations=(), checkpoint_fn=None,
+                       hist8_init=None):
         """Run the full optimization for one scene.
 
         initial_pose (N,3); poses_2d (V,N,2+); cameras batched over V;
@@ -426,6 +445,14 @@ class SceneTrainer:
 
         carry, view_aux = self._prepare(jnp.asarray(initial_pose), poses_2d,
                                         cameras, drop_mask)
+        use_stop = self.settings.early_stopping == "opt_early_stopping"
+        if use_stop and hist8_init is not None:
+            # cross-scene OptEarlyStopping window: the reference constructs
+            # the stopper once before the scene loop (train.py:64), so its
+            # 8-loss history straddles scene boundaries — seed it with the
+            # previous scene's final history (MacroHistory.hist8)
+            carry = (carry[0], carry[1],
+                     jnp.asarray(hist8_init, jnp.float32)) + carry[3:]
 
         accum = self.settings.accumulation_steps
         rounded = sorted({min(max(it // accum, 0), self.n_macro)
@@ -454,7 +481,8 @@ class SceneTrainer:
             for i in range(4))
         history = MacroHistory(
             losses=losses_k, error=err_k, error_rel=err_rel_k,
-            stopped_at=jnp.max(stop_marks))
+            stopped_at=jnp.max(stop_marks),
+            hist8=carry[2] if use_stop else None)
         return params, history
 
     # ------------------------------------------------------------------

@@ -552,3 +552,71 @@ def test_general_accumulation_mid_macro_stop_matches_reference_loop():
     np.testing.assert_allclose(np.asarray(params2.quats),
                                np.asarray(p.quats),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stop_offset_cross_scene_carry_matches_global_history(rng):
+    """The reference constructs OptEarlyStopping once before the scene loop
+    (train.py:64), so its 8-loss window straddles scene boundaries and a
+    stopped scene leaves its history truncated at the stop iteration. Fuzz
+    a two-scene run: the literal global-history simulation vs the stop_offset
+    chain carrying hist8 across the boundary."""
+    from skelsplat_tpu.engine.trainer import stop_offset
+
+    tol = 0.1
+    for trial in range(100):
+        A = int(rng.choice([1, 2, 3, 4, 5]))
+        n_macro = (16 + A - 1) // A
+        losses = rng.choice([0.5, 0.50001, 0.7, 0.9],
+                            size=(2, n_macro, A)).astype(np.float32)
+
+        # literal: one persistent history; each scene breaks on its stop
+        history, ref = [], []
+        for s in range(2):
+            fired = None
+            for k1 in range(1, n_macro + 1):
+                for m in range(1, A + 1):
+                    history.append(losses[s, k1 - 1, m - 1])
+                    if len(history) >= 8 and np.all(np.abs(
+                            np.array(history[-8:-4])
+                            - np.array(history[-4:])) < tol):
+                        fired = (k1, m)
+                        break
+                if fired:
+                    break
+            ref.append(fired)
+
+        # ours: per-scene loops chaining hist8 (stop-aligned) across scenes
+        hist8, ours = jnp.full((8,), jnp.inf), []
+        for s in range(2):
+            fired = None
+            for k1 in range(1, n_macro + 1):
+                stop, m_star, hist8 = stop_offset(
+                    hist8, jnp.asarray(losses[s, k1 - 1]), k1, tol)
+                if bool(stop):
+                    fired = (k1, int(m_star))
+                    break
+            ours.append(fired)
+        assert ours == ref, f"trial {trial} A={A}: {ours} vs {ref}"
+
+
+def test_optimize_scene_hist8_carry_fires_immediately(scene):
+    """End-to-end: with a carried all-equal history and a forced tolerance,
+    scene 2 must stop at its very first iteration (a fresh history cannot
+    fire before iteration 8 — test_exact_early_stopping covers that side)."""
+    import skelsplat_tpu.engine.trainer as trainer_mod
+    cams, gt, p2d, init = scene
+    opt_cfg = OptConfig(iterations=40)
+    old_tol = trainer_mod.REPEAT_TOL
+    trainer_mod.REPEAT_TOL = 1e6
+    try:
+        tr = SceneTrainer(_model(), opt_cfg,
+                          TrainSettings(early_stopping="opt_early_stopping"),
+                          W, H, renderer="fused")
+        params, hist = tr.optimize_scene(
+            init, p2d, cams, gt, hist8_init=np.full(8, 0.5, np.float32))
+    finally:
+        trainer_mod.REPEAT_TOL = old_tol
+    assert int(hist.stopped_at) == 1
+    assert hist.hist8 is not None
+    # the carried-out history holds the stop-time window: 7 seeds + loss_1
+    np.testing.assert_allclose(np.asarray(hist.hist8[:7]), 0.5)
