@@ -66,8 +66,13 @@ def main(argv=None):
     for s in range(n):
         t0 = time.perf_counter()
         params, hist = trainer.optimize_scene(init[s], p2d[s], cams_b, gt[s])
-        jax.block_until_ready(params.xyz)
+        # fetch the result to the host: on remote-device tunnels
+        # block_until_ready alone can return before the work is done, so a
+        # benchmark must time through an actual result roundtrip (the sweep
+        # driver fetches every pose anyway)
+        xyz = np.asarray(params.xyz)
         dt = time.perf_counter() - t0
+        assert np.isfinite(xyz).all()
         if s > 0:  # frame 0 pays compilation
             times.append(dt)
         print(f"frame {s}: {dt:.3f}s"
@@ -93,8 +98,9 @@ def main(argv=None):
         for rep in range(2):
             t0 = time.perf_counter()
             pb, hb = trainer.optimize_scene_batch(initb, p2db, cams_bb, gtb)
-            jax.block_until_ready(pb.xyz)
+            xyz_b = np.asarray(pb.xyz)   # result roundtrip (see above)
             dt = time.perf_counter() - t0
+            assert np.isfinite(xyz_b).all()
             print(f"batch {B}: {dt:.3f}s total, {dt / B:.4f} s/frame"
                   + ("  (compile+run)" if rep == 0 else ""),
                   file=sys.stderr)

@@ -32,12 +32,10 @@ _cache_enabled = False
 def ensure_compile_cache() -> bool:
     """Enable the persistent compilation cache for non-CPU backends.
 
-    Called lazily (trainer/driver construction) so the gate can consult the
-    RESOLVED backend: when JAX_PLATFORMS is unset, a CPU-only host must not
-    fill the cache with CPU AOT artifacts (the cross-host SIGILL risk), and
-    deciding that from the env var alone is impossible. The import-time call
-    below only acts when JAX_PLATFORMS explicitly names a non-CPU platform
-    (the common remote-TPU setup), which never initializes a backend early.
+    Called lazily (trainer/driver construction) so the gate consults the
+    RESOLVED backend: a CPU backend must not fill the cache with CPU AOT
+    artifacts (the cross-host SIGILL risk), and neither the env var nor
+    import order can decide that reliably.
     """
     global _cache_enabled
     if _cache_enabled or _os.environ.get("SKELSPLAT_NO_COMPILE_CACHE"):
@@ -47,10 +45,11 @@ def ensure_compile_cache() -> bool:
 
     import jax as _jax
 
-    platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
-    if platforms in ("cpu",):
-        return False
-    if not platforms and _jax.default_backend() == "cpu":
+    # the RESOLVED backend, not the env var: tests and scripts override the
+    # platform via jax.config after import (conftest.py), and an env-only
+    # gate then lets the CPU backend read/write the TPU cache dir (observed
+    # live as cross-host "+prefer-no-scatter" AOT loads)
+    if _jax.default_backend() == "cpu":
         return False
 
     # key the cache by the host CPU (CPU AOT artifacts embed machine
@@ -76,7 +75,10 @@ def ensure_compile_cache() -> bool:
     return _cache_enabled
 
 
-if _os.environ.get("JAX_PLATFORMS", "").lower() not in ("", "cpu"):
-    ensure_compile_cache()
+# No import-time enable: resolving the backend here would either trust the
+# env var (wrong once a script updates jax_platforms post-import) or force
+# an early backend init (~85 s on remote-TPU setups for CPU-only users).
+# Trainer/driver construction calls ensure_compile_cache() right before the
+# first compile, when the backend is about to be initialized anyway.
 
 from skelsplat_tpu.core import geometry  # noqa: F401

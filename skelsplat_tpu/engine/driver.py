@@ -158,6 +158,9 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         # (auxiliary.h:178-185): fail fast on NaNs from any jitted program.
         jax.config.update("jax_debug_nans", True)
 
+    import skelsplat_tpu
+    skelsplat_tpu.ensure_compile_cache()
+
     tb_writer = _prepare_tb(output_dir)
     scene_type = scene_type_of(dataset.data_root)
     model = SkeletonModel(

@@ -44,7 +44,8 @@ from skelsplat_tpu.ops import heatmaps as hm
 from skelsplat_tpu.ops import rasterizer
 from skelsplat_tpu.ops.fused import fused_view_loss_available, make_fused_view_loss
 from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
-                                             pallas_view_profiles)
+                                             pallas_view_profiles,
+                                             pallas_window_bounds)
 
 REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
 
@@ -274,7 +275,8 @@ class SceneTrainer:
         self.n_macro = opt.iterations // settings.accumulation_steps
         self.adam = AdamGroups(opt)
         if renderer == "auto":
-            if (settings.loss_function == "l2_gaussian"
+            from skelsplat_tpu.ops.pallas_raster import PALLAS_LOSSES
+            if (settings.loss_function in PALLAS_LOSSES
                     and jax.default_backend() == "tpu"):
                 renderer = "pallas"
             elif fused_view_loss_available(settings.loss_function,
@@ -283,8 +285,37 @@ class SceneTrainer:
             else:
                 renderer = "dense"
         self.renderer = renderer
+        self._pallas_win = self._window_config() if renderer == "pallas" \
+            else None
         (self._prepare, self._segment,
          self._prepare_b, self._segment_b) = self._build_run()
+
+    def _window_config(self):
+        """Static (win_h, win_w) for the windowed Pallas kernel, or None.
+
+        The kernel then runs on a dynamic (win_h, win_w) crop around the
+        union bbox of splat rects ∪ GT supports — exact via a per-macro
+        fits-cond falling back to the full-frame kernel (pallas_raster.
+        pallas_window_bounds). ``SKELSPLAT_PALLAS_WINDOW`` overrides:
+        "off" disables, "HxW" sets the crop. Only the per-scene path conds
+        (under the batched vmap a cond would execute both branches)."""
+        import os
+
+        from skelsplat_tpu.ops.pallas_raster import LANES, ROWS
+        H_pad = -(-self.H // ROWS) * ROWS
+        W_pad = -(-self.W // LANES) * LANES
+        spec = os.environ.get("SKELSPLAT_PALLAS_WINDOW", "auto")
+        if spec == "off":
+            return None
+        if spec == "auto":
+            wh, ww = min(H_pad, 512), min(W_pad, 512)
+        else:
+            wh, ww = (int(s) for s in spec.lower().split("x"))
+            wh = min(-(-wh // ROWS) * ROWS, H_pad)
+            ww = min(-(-ww // LANES) * LANES, W_pad)
+        if (wh, ww) == (H_pad, W_pad):
+            return None    # window covers the frame — nothing to crop
+        return wh, ww
 
     # ------------------------------------------------------------------
     def _view_loss_dense(self, params, cam, gt_heatmaps_v, pose_2d_v):
@@ -340,63 +371,99 @@ class SceneTrainer:
                                      general)
             return carry, view_aux
 
-        def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
-                    spatial_lr_scale, k0, n_macro):
-            """Run macro steps k0 .. k0+n_macro−1 (n_macro static)."""
-            nviews = poses_2d.shape[0]
-            if self.renderer == "dense":
-                view_loss = lambda p, cam, g, p2: self._view_loss_dense(
-                    p, cam, g, p2)
-            elif self.renderer == "pallas":
-                pal = make_pallas_view_loss(
-                    self.model, self.settings, self.W, self.H,
-                    self.antialiasing)
-                view_loss = lambda p, cam, aux, p2: pal(
-                    p, cam, aux[0], p2, profiles=aux[1])
-            else:
-                fused = make_fused_view_loss(
-                    self.model, self.settings, self.W, self.H,
-                    self.antialiasing)
-                view_loss = lambda p, cam, s, p2: fused(p, cam, s, p2)
+        def make_segment(windowed):
+            """``windowed``: (win_h, win_w) to run the Pallas kernel on a
+            dynamic crop with a fits-cond fallback (per-scene path only —
+            under vmap a cond executes both branches), or None."""
 
-            general = V_accum != nviews
-
-            def per_view_grads(p, idxs=None):
-                f = jax.value_and_grad(view_loss)
-                cams_k, aux_k, p2_k = cameras, view_aux, poses_2d
-                if idxs is not None:
-                    take = lambda x: jnp.take(x, idxs, axis=0)
-                    cams_k = jax.tree.map(take, cameras)
-                    aux_k = jax.tree.map(take, view_aux)
-                    p2_k = jnp.take(poses_2d, idxs, axis=0)
-                return jax.vmap(f, in_axes=(None, 0, 0, 0))(
-                    p, cams_k, aux_k, p2_k)
-
-            def macro_step(carry, k):
-                params = carry[0]
-                if general:
-                    # accumulation window ≠ view count: the reference's
-                    # round-robin visits views (k·A+j) mod V during macro k
-                    # and steps with the PERSISTENT accumulated_grads rows —
-                    # unvisited views contribute their stale (or zero-init)
-                    # gradients (train.py:121,136,175,215).
-                    idxs = (k * V_accum
-                            + jnp.arange(V_accum, dtype=jnp.int32)) % nviews
-                    losses_v, grads_v = per_view_grads(params, idxs)
+            def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
+                        spatial_lr_scale, k0, n_macro):
+                """Run macro steps k0 .. k0+n_macro−1 (n_macro static)."""
+                nviews = poses_2d.shape[0]
+                view_loss_win = None
+                if self.renderer == "dense":
+                    view_loss = lambda p, cam, g, p2: self._view_loss_dense(
+                        p, cam, g, p2)
+                elif self.renderer == "pallas":
+                    pal = make_pallas_view_loss(
+                        self.model, self.settings, self.W, self.H,
+                        self.antialiasing)
+                    view_loss = lambda p, cam, aux, p2: pal(
+                        p, cam, aux[0], p2, profiles=aux[1])
+                    if windowed is not None:
+                        view_loss_win = lambda p, cam, aux, p2, off: pal(
+                            p, cam, aux[0], p2, profiles=aux[1],
+                            window=off, win_shape=windowed)
                 else:
-                    idxs = jnp.arange(V_accum, dtype=jnp.int32)
-                    losses_v, grads_v = per_view_grads(params)
-                return compose_macro(
-                    self.adam, V_accum, nviews, use_stop, general,
-                    carry, k, losses_v, grads_v, idxs,
-                    pose_3d_gt, spatial_lr_scale)
+                    fused = make_fused_view_loss(
+                        self.model, self.settings, self.W, self.H,
+                        self.antialiasing)
+                    view_loss = lambda p, cam, s, p2: fused(p, cam, s, p2)
 
-            carry, recs = jax.lax.scan(
-                macro_step, carry, k0 + jnp.arange(n_macro))
-            return carry, recs
+                general = V_accum != nviews
 
+                def per_view_grads(p, idxs=None):
+                    cams_k, aux_k, p2_k = cameras, view_aux, poses_2d
+                    if idxs is not None:
+                        take = lambda x: jnp.take(x, idxs, axis=0)
+                        cams_k = jax.tree.map(take, cameras)
+                        aux_k = jax.tree.map(take, view_aux)
+                        p2_k = jnp.take(poses_2d, idxs, axis=0)
+                    if view_loss_win is not None:
+                        offs, fits = jax.vmap(
+                            lambda cam, aux: pallas_window_bounds(
+                                p, cam, aux[0], self.W, self.H,
+                                windowed[0], windowed[1],
+                                self.antialiasing, profiles=aux[1]))(
+                            cams_k, aux_k)
+
+                        def win_call(_):
+                            f = jax.value_and_grad(view_loss_win)
+                            return jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
+                                p, cams_k, aux_k, p2_k, offs)
+
+                        def full_call(_):
+                            f = jax.value_and_grad(view_loss)
+                            return jax.vmap(f, in_axes=(None, 0, 0, 0))(
+                                p, cams_k, aux_k, p2_k)
+
+                        return jax.lax.cond(jnp.all(fits), win_call,
+                                            full_call, None)
+                    f = jax.value_and_grad(view_loss)
+                    return jax.vmap(f, in_axes=(None, 0, 0, 0))(
+                        p, cams_k, aux_k, p2_k)
+
+                def macro_step(carry, k):
+                    params = carry[0]
+                    if general:
+                        # accumulation window ≠ view count: the reference's
+                        # round-robin visits views (k·A+j) mod V during
+                        # macro k and steps with the PERSISTENT
+                        # accumulated_grads rows — unvisited views
+                        # contribute their stale (or zero-init) gradients
+                        # (train.py:121,136,175,215).
+                        idxs = (k * V_accum + jnp.arange(
+                            V_accum, dtype=jnp.int32)) % nviews
+                        losses_v, grads_v = per_view_grads(params, idxs)
+                    else:
+                        idxs = jnp.arange(V_accum, dtype=jnp.int32)
+                        losses_v, grads_v = per_view_grads(params)
+                    return compose_macro(
+                        self.adam, V_accum, nviews, use_stop, general,
+                        carry, k, losses_v, grads_v, idxs,
+                        pose_3d_gt, spatial_lr_scale)
+
+                carry, recs = jax.lax.scan(
+                    macro_step, carry, k0 + jnp.arange(n_macro))
+                return carry, recs
+
+            return segment
+
+        segment = make_segment(self._pallas_win)
+        segment_plain = (make_segment(None) if self._pallas_win is not None
+                         else segment)
         prepare_b = jax.vmap(prepare)
-        segment_b = jax.vmap(segment,
+        segment_b = jax.vmap(segment_plain,
                              in_axes=(0, 0, 0, 0, 0, 0, None, None))
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
@@ -439,8 +506,11 @@ class SceneTrainer:
             drop_mask = hm.dropout_masks(drop_key, nviews, n)
         else:
             drop_mask = jnp.zeros((nviews, n), dtype=bool)
-        cameras = jax.tree.map(jnp.asarray, cameras)
+        # extent BEFORE the device put: cameras_extent pulls cam_center to
+        # the host, and fetching a freshly device-put array back costs a
+        # full device round-trip (~40 ms/frame through an RPC tunnel)
         extent = jnp.asarray(cameras_extent(cameras), jnp.float32)
+        cameras = jax.tree.map(jnp.asarray, cameras)
         pose_3d_gt = jnp.asarray(pose_3d_gt, dtype=jnp.float32)
 
         carry, view_aux = self._prepare(jnp.asarray(initial_pose), poses_2d,
@@ -508,10 +578,12 @@ class SceneTrainer:
         else:
             pose_3d_gt_b = jnp.asarray(
                 np.asarray(pose_3d_gt_b, dtype=np.float32))
-        cameras_b = jax.tree.map(jnp.asarray, cameras_b)
+        cams_np = jax.tree.map(np.asarray, cameras_b)  # extent on host,
+        # BEFORE the device put (see optimize_scene)
         extent_b = jnp.asarray(
-            [cameras_extent(jax.tree.map(lambda x: x[b], cameras_b))
+            [cameras_extent(jax.tree.map(lambda x: x[b], cams_np))
              for b in range(B)], jnp.float32)
+        cameras_b = jax.tree.map(jnp.asarray, cameras_b)
         drop_b = jnp.zeros((B, nviews, n), dtype=bool)
 
         carry, view_aux = self._prepare_b(initial_b, poses_2d_b, cameras_b,

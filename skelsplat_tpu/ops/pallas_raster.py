@@ -59,11 +59,14 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
-def _block_geometry(y0, rows, w_pad):
-    ys = (y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w_pad), 0)
-          ).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (rows, w_pad), 1).astype(
-        jnp.float32)
+def _block_geometry(y0, rows, w_pad, x0=0.0):
+    """Absolute pixel/tile coordinates of this program's block. ``y0``/``x0``
+    include the window offset, so a windowed kernel sees the same coordinate
+    frame as the full one."""
+    ys = (jnp.float32(y0) + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, w_pad), 0).astype(jnp.float32))
+    xs = (jnp.float32(x0) + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, w_pad), 1).astype(jnp.float32))
     tile_x = jnp.floor(xs / geometry.BLOCK_X)
     tile_y = jnp.floor(ys / geometry.BLOCK_Y)
     return ys, xs, tile_x, tile_y
@@ -94,9 +97,25 @@ def _band_overlaps(g_ref, i, y0f, rows):
     return rend, gt
 
 
-def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref, T_ref, done_ref):
+def _err(d, l1: bool):
+    """Per-pixel error term: |d| for the l1 family (l1_gaussian/l1_masked,
+    loss_utils.py:103-118), d² for l2_gaussian (loss_utils.py:86-100)."""
+    return jnp.abs(d) if l1 else d * d
+
+
+def _derr(d, l1: bool):
+    """∂err/∂render — sign(d) for l1 (the jnp.abs VJP: sign(0)=0), 2d for
+    l2 — so the kernel's analytic backward matches the XLA autodiff paths
+    bit-for-bit per loss."""
+    return jnp.sign(d) if l1 else 2.0 * d
+
+
+def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
+                T_ref, done_ref):
     """g_ref: SMEM (n, PACK); p1_ref: VMEM (ROWS, 128) lane-per-slot rows
-    block; p2_ref: VMEM (n, W_pad); out_ref: SMEM (1, 2).
+    block; p2_ref: VMEM (n, W_pad); offs_ref: SMEM (1, 2) window origin
+    (row, col) in absolute pixels (zeros when unwindowed); out_ref:
+    SMEM (1, 2).
 
     Per-slot row-band culling: a slot whose splat rect misses this band has
     gate ≡ false here (zero α, unchanged T chain) so its compositing work is
@@ -105,9 +124,9 @@ def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref, T_ref, done_ref):
     (each Gaussian touches ~6 of 63 row bands).
     """
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
-    y0 = pl.program_id(0) * rows
-    y0f = jnp.float32(1.0) * y0
-    ys, xs, tile_x, tile_y = _block_geometry(y0, rows, w_pad)
+    y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
+    ys, xs, tile_x, tile_y = _block_geometry(y0f, rows, w_pad,
+                                             offs_ref[0, 1])
     in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
 
     # TPU grid programs run sequentially: the shared SMEM output block is
@@ -140,7 +159,7 @@ def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref, T_ref, done_ref):
             gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
-            out_ref[0, 0] += jnp.sum(jnp.where(mask, d * d, 0.0))
+            out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
             done2 = done | (gate & (test < geometry.T_MIN) & (~done))
             done_ref[:] = done2.astype(jnp.float32)
@@ -150,35 +169,40 @@ def _fwd_kernel(n: int, g_ref, p1_ref, p2_ref, out_ref, T_ref, done_ref):
         def _(i=i):
             gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
             mask = (gt > 0.0) & in_img
-            out_ref[0, 0] += jnp.sum(jnp.where(mask, gt * gt, 0.0))
+            out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
-def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref, T_ref, done_ref,
-                al_ref, Ti_ref, gh_ref, sfx_ref):
-    """Ref-style backward: pass 1 recomputes the band-culled chain and
-    stores per-slot (live-masked α, T before the slot, ∂S/∂contrib) into
-    VMEM scratch stacks; pass 2 walks slots in reverse, accumulating the
-    suffix term and the per-slot gradient partials (backward.cu:452-638's
-    α-chain adjoint). Skipped slots store zeros, so the suffix passes
-    through them untouched."""
+def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
+                dg_ref, T_ref, done_ref, al_ref, Ti_ref, gh_ref, sfx_ref):
+    """Combined forward+backward: pass 1 runs the band-culled compositing
+    chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
+    same per-slot order, so values are bitwise the forward's — and stores
+    per-slot (live-masked α, T before the slot, ∂S/∂contrib) into VMEM
+    scratch stacks; pass 2 walks slots in reverse, accumulating the suffix
+    term and the per-slot gradient partials (backward.cu:452-638's α-chain
+    adjoint). Skipped slots store zeros, so the suffix passes through them
+    untouched. One kernel per grad step replaces the fwd+bwd pair (the
+    value_and_grad path never runs _fwd_kernel at all)."""
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
-    y0 = pl.program_id(0) * rows
-    ys, xs, tile_x, tile_y = _block_geometry(y0, rows, w_pad)
+    y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
+    ys, xs, tile_x, tile_y = _block_geometry(y0f, rows, w_pad,
+                                             offs_ref[0, 1])
     in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
 
     @pl.when(pl.program_id(0) == 0)
     def _():
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
         for j in range(dg_ref.shape[1]):
             dg_ref[0, j] = 0.0
 
-    y0f = jnp.float32(1.0) * y0
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     zeros = jnp.zeros((rows, w_pad), jnp.float32)
     rends = []
     for i in range(n):
-        rend_ov, _ = _band_overlaps(g_ref, i, y0f, rows)
+        rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
         rends.append(rend_ov)
         al_ref[i] = zeros
         Ti_ref[i] = zeros
@@ -197,14 +221,24 @@ def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref, T_ref, done_ref,
             r = jnp.clip(contrib, 0.0, 1.0)
             gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
+            d = r - gt
+            out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
+            out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
             # live-masked α: pass 2 recovers live = (stored α > 0)
             al_ref[i] = jnp.where(live, a_i, 0.0)
             Ti_ref[i] = T
             # ∂S/∂contrib (clip is pass-through on [0, 0.99])
-            gh_ref[i] = jnp.where(mask & live, 2.0 * (r - gt), 0.0)
+            gh_ref[i] = jnp.where(mask & live, _derr(d, l1), 0.0)
             done_ref[:] = (done | (gate & (test < geometry.T_MIN)
                                    & (~done))).astype(jnp.float32)
             T_ref[:] = jnp.where(live, test, T)
+
+        @pl.when(jnp.logical_not(rend_ov) & gt_ov)
+        def _(i=i):
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            mask = (gt > 0.0) & in_img
+            out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
+            out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
     # pass 2 (reverse): suffix in scratch; gradients only for band slots
     sfx_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
@@ -241,12 +275,12 @@ def _bwd_kernel(n: int, g_ref, p1_ref, p2_ref, dg_ref, T_ref, done_ref,
             sfx_ref[:] = suffix + a_i * T_i * ghat
 
 
-def _run_fwd(gauss, p1, p2, interpret):
+def _run_fwd(gauss, p1, p2, offs, l1, interpret):
     n = gauss.shape[0]
     n_prog = p1.shape[0] // ROWS
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n),
+        functools.partial(_fwd_kernel, n, l1),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -255,6 +289,8 @@ def _run_fwd(gauss, p1, p2, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -264,15 +300,16 @@ def _run_fwd(gauss, p1, p2, interpret):
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),   # done mask
         ],
         interpret=interpret,
-    )(gauss, p1, p2)
+    )(gauss, p1, p2, offs)
     return out[0, 0], out[0, 1]
 
 
-def _run_bwd(gauss, p1, p2, interpret):
+def _run_bwd(gauss, p1, p2, offs, l1, interpret):
+    """Combined forward+backward pass: returns (S, C, dg)."""
     n = gauss.shape[0]
     n_prog = p1.shape[0] // ROWS
-    dg = pl.pallas_call(
-        functools.partial(_bwd_kernel, n),
+    out, dg = pl.pallas_call(
+        functools.partial(_bwd_kernel, n, l1),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -281,10 +318,19 @@ def _run_bwd(gauss, p1, p2, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, n * PACK), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n * PACK), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # T
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # done mask
@@ -294,25 +340,28 @@ def _run_bwd(gauss, p1, p2, interpret):
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # suffix
         ],
         interpret=interpret,
-    )(gauss, p1, p2)
-    return dg.reshape(n, PACK)
+    )(gauss, p1, p2, offs)
+    return out[0, 0], out[0, 1], dg.reshape(n, PACK)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pallas_S_C(gauss, p1, p2, interpret):
-    return _run_fwd(gauss, p1, p2, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _pallas_S_C(gauss, p1, p2, offs, l1, interpret):
+    return _run_fwd(gauss, p1, p2, offs, l1, interpret)
 
 
-def _pallas_fwd(gauss, p1, p2, interpret):
-    S, C = _run_fwd(gauss, p1, p2, interpret)
-    return (S, C), (gauss, p1, p2)
+def _pallas_fwd(gauss, p1, p2, offs, l1, interpret):
+    # under value_and_grad the COMBINED kernel produces the loss and the
+    # screen-space gradients in one launch — the forward-only kernel never
+    # runs on the grad path (the adjoint is the cotangent scale below)
+    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret)
+    return (S, C), (dg, p1, p2, offs)
 
 
-def _pallas_bwd(interpret, res, cot):
-    gauss, p1, p2 = res
+def _pallas_bwd(l1, interpret, res, cot):
+    dg, p1, p2, offs = res
     gS, _ = cot
-    dg = _run_bwd(gauss, p1, p2, interpret) * gS
-    return dg, jnp.zeros_like(p1), jnp.zeros_like(p2)
+    return (dg * gS, jnp.zeros_like(p1), jnp.zeros_like(p2),
+            jnp.zeros_like(offs))
 
 
 _pallas_S_C.defvjp(_pallas_fwd, _pallas_bwd)
@@ -331,12 +380,25 @@ def _pad_to(x, size, axis, value=0.0):
     return jnp.pad(x, cfg, constant_values=value)
 
 
+def _nz_span(prof):
+    """First/one-past-last nonzero index per row of ``prof`` (N, L) —
+    (0, 0) for all-zero rows."""
+    nz = prof > 0.0
+    has = jnp.any(nz, axis=1)
+    first = jnp.argmax(nz, axis=1)
+    last = prof.shape[1] - jnp.argmax(nz[:, ::-1], axis=1)
+    return (jnp.where(has, first, 0).astype(jnp.float32),
+            jnp.where(has, last, 0).astype(jnp.float32))
+
+
 def pallas_view_profiles(spec_v, W: int, H: int):
     """Per-scene-constant GT state for one view: lane-major row profiles
-    p1' = A·p1 (H_pad, LANES), column profiles p2 (N, W_pad) and the affine
-    offset B so that gt = p1'·p2 + B. Computed ONCE per scene (the spec is
-    frozen at the initial covariance, train.py:91-92) and reused by every
-    macro step."""
+    p1' = A·p1 (H_pad, LANES), column profiles p2 (N, W_pad), the affine
+    offset B so that gt = p1'·p2 + B, and the per-channel nonzero spans
+    (N, 4) = [gy0, gy1, gx0, gx1] of the GT support (row-band culling and
+    window-bounds inputs). Computed ONCE per scene (the spec is frozen at
+    the initial covariance, train.py:91-92) and reused by every macro
+    step."""
     n = spec_v.y0.shape[0]
     H_pad = -(-H // ROWS) * ROWS
     W_pad = -(-W // LANES) * LANES
@@ -352,19 +414,81 @@ def pallas_view_profiles(spec_v, W: int, H: int):
     A = spec_v.amp / denom
     B = -spec_v.mn / denom
     p1 = p1 * A[:, None]
+    gy0, gy1 = _nz_span(p1)
+    gx0, gx1 = _nz_span(p2)
+    spans = jnp.stack([gy0, gy1, gx0, gx1], axis=1)     # (N, 4)
     p1_lane = _pad_to(p1.T, LANES, axis=1)              # (H_pad, LANES)
-    return jax.lax.stop_gradient((p1_lane, p2, B))
+    return jax.lax.stop_gradient((p1_lane, p2, B, spans))
+
+
+# losses the Pallas kernel implements (same set as ops/fused.FUSED_LOSSES):
+# l2_gaussian uses the squared-error op, the l1 family the absolute error
+PALLAS_LOSSES = ("l2_gaussian", "l1_gaussian", "l1_masked")
+
+
+def pallas_window_bounds(params, cam, spec_v, W: int, H: int,
+                         win_h: int, win_w: int,
+                         antialiasing: bool = False, profiles=None):
+    """Union bbox of (splat rects ∪ GT supports) for one view, snapped to a
+    (win_h, win_w) window: returns (offs (2,) f32 [row, col], fits bool).
+    Non-differentiable (stop_gradient) — call OUTSIDE value_and_grad, once
+    per macro step, and cond on all-views-fit (a vmapped cond would execute
+    both branches)."""
+    pp = rasterizer.preprocess_gaussians(
+        params.xyz, params.covariance(), params.opacity, cam, W, H,
+        antialiasing)
+    if profiles is None:
+        profiles = pallas_view_profiles(spec_v, W, H)
+    spans = profiles[3]
+    H_pad = -(-H // ROWS) * ROWS
+    W_pad = -(-W // LANES) * LANES
+
+    ry0 = pp.rect_min[:, 1].astype(jnp.float32) * geometry.BLOCK_Y
+    ry1 = pp.rect_max[:, 1].astype(jnp.float32) * geometry.BLOCK_Y
+    rx0 = pp.rect_min[:, 0].astype(jnp.float32) * geometry.BLOCK_X
+    rx1 = pp.rect_max[:, 0].astype(jnp.float32) * geometry.BLOCK_X
+    act_r = pp.valid & (ry1 > ry0) & (rx1 > rx0)
+    act_g = spans[:, 1] > spans[:, 0]
+    big = jnp.float32(1e9)
+    lo_y = jnp.minimum(jnp.min(jnp.where(act_r, ry0, big)),
+                       jnp.min(jnp.where(act_g, spans[:, 0], big)))
+    hi_y = jnp.maximum(jnp.max(jnp.where(act_r, ry1, -big)),
+                       jnp.max(jnp.where(act_g, spans[:, 1], -big)))
+    lo_x = jnp.minimum(jnp.min(jnp.where(act_r, rx0, big)),
+                       jnp.min(jnp.where(act_g, spans[:, 2], big)))
+    hi_x = jnp.maximum(jnp.max(jnp.where(act_r, rx1, -big)),
+                       jnp.max(jnp.where(act_g, spans[:, 3], -big)))
+
+    row_off = jnp.clip(jnp.floor(lo_y / ROWS) * ROWS, 0.0,
+                       float(H_pad - win_h))
+    col_off = jnp.clip(jnp.floor(lo_x / LANES) * LANES, 0.0,
+                       float(W_pad - win_w))
+    fits = ((lo_y >= row_off) & (hi_y <= row_off + win_h)
+            & (lo_x >= col_off) & (hi_x <= col_off + win_w))
+    offs = jnp.stack([row_off, col_off]).astype(jnp.float32)
+    return jax.lax.stop_gradient(offs), jax.lax.stop_gradient(fits)
 
 
 def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
                            antialiasing: bool = False,
                            interpret: bool | None = None,
-                           profiles=None):
-    """l2_gaussian view loss — Pallas-fused twin of fused.fused_view_loss.
+                           profiles=None,
+                           loss_function: str = "l2_gaussian",
+                           window=None, win_shape=None):
+    """Masked heatmap view loss — Pallas-fused twin of fused.fused_view_loss
+    for every loss in PALLAS_LOSSES (loss_utils.py:86-118).
 
     ``profiles``: optional precomputed ``pallas_view_profiles`` output;
     passing it keeps the per-step work to the N-sized preprocess + kernel.
+
+    ``window``/``win_shape``: optional (2,) f32 window origin from
+    ``pallas_window_bounds`` + static (win_h, win_w). The kernel then runs
+    on the (win_h, win_w) crop only — exact whenever the window covers the
+    union bbox (the caller conds on ``fits``); pixel/tile coordinates stay
+    absolute, so values match the full kernel to reduction-order ULPs.
     """
+    if loss_function not in PALLAS_LOSSES:
+        raise ValueError(f"pallas kernel does not implement {loss_function!r}")
     if interpret is None:
         interpret = _interpret_default()
     n = params.n_joints
@@ -376,7 +500,7 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
 
     if profiles is None:
         profiles = pallas_view_profiles(spec_v, W, H)
-    p1_lane, p2, B = profiles
+    p1_lane, p2, B, spans = profiles
 
     # sorted, channel-aligned slot data
     opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
@@ -393,6 +517,11 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     gauss = gauss.at[:, IDX_B].set(B)
     gauss = gauss.at[:, IDX_W].set(spec_v.width[0])
     gauss = gauss.at[:, IDX_H].set(spec_v.height[0])
+    # GT row support per slot for the kernel's band culling: gt > 0 requires
+    # p1 > 0 (B = −mn/denom ≤ 0), so the nonzero-row span of the profile is
+    # a tight conservative bound (precomputed in pallas_view_profiles).
+    gauss = gauss.at[:, IDX_GY0].set(spans[:, 0])
+    gauss = gauss.at[:, IDX_GY1].set(spans[:, 1])
 
     gauss_s = gauss[order]
     # permute the per-scene-constant profiles into depth order: lane gather
@@ -400,20 +529,19 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     p1_s = jnp.concatenate([p1_lane[:, order], p1_lane[:, n:]], axis=1)
     p2_s = p2[order]
 
-    # GT row support per slot for the kernel's band culling: gt > 0 requires
-    # p1 > 0 (B = −mn/denom ≤ 0), so the nonzero-row span of the profile is
-    # a tight conservative bound.
-    nz = p1_s[:, :n] > 0.0                               # (H_pad, n)
-    has = jnp.any(nz, axis=0)
-    h_pad = p1_s.shape[0]
-    first = jnp.argmax(nz, axis=0)
-    last = h_pad - jnp.argmax(nz[::-1], axis=0)
-    gy0 = jnp.where(has, first, 0).astype(jnp.float32)
-    gy1 = jnp.where(has, last, 0).astype(jnp.float32)
-    gauss_s = gauss_s.at[:, IDX_GY0].set(jax.lax.stop_gradient(gy0))
-    gauss_s = gauss_s.at[:, IDX_GY1].set(jax.lax.stop_gradient(gy1))
+    if window is not None:
+        win_h, win_w = win_shape
+        r_off = window[0].astype(jnp.int32)
+        c_off = window[1].astype(jnp.int32)
+        p1_s = jax.lax.dynamic_slice(p1_s, (r_off, 0), (win_h, LANES))
+        p2_s = jax.lax.dynamic_slice(
+            p2_s, (jnp.int32(0), c_off), (n, win_w))
+        offs = window.reshape(1, 2)
+    else:
+        offs = jnp.zeros((1, 2), jnp.float32)
 
-    S, C = _pallas_S_C(gauss_s, p1_s, p2_s, interpret)
+    S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs,
+                       loss_function != "l2_gaussian", interpret)
     return S / jnp.maximum(C, 1.0)
 
 
@@ -426,10 +554,13 @@ def make_pallas_view_loss(model, settings, W: int, H: int,
 
     cons_fn = loss_registry.consistency_losses[settings.consistency_loss]
 
-    def view_loss(params, cam, spec_v, pose_2d_v, profiles=None):
+    def view_loss(params, cam, spec_v, pose_2d_v, profiles=None,
+                  window=None, win_shape=None):
         main = fused_view_loss_pallas(params, cam, spec_v, W, H,
                                       antialiasing, interpret,
-                                      profiles=profiles)
+                                      profiles=profiles,
+                                      loss_function=settings.loss_function,
+                                      window=window, win_shape=win_shape)
         cons = cons_fn(params.xyz, model.scene_type, reduction="mean")
         return main + cons * settings.lambda_consistency
 

@@ -95,3 +95,106 @@ def test_trainer_pallas_matches_fused(scene):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(hp.losses), np.asarray(hf.losses),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("loss_fn", ["l1_gaussian", "l1_masked"])
+def test_pallas_l1_losses_match_fused(scene, loss_fn):
+    """The kernel's error op is parameterized over FUSED_LOSSES (the l1
+    family shares |d| with sign(d) backward, loss_utils.py:103-118); value
+    AND gradient must match the XLA fused path per loss."""
+    cams, gt, p2d, init, params, spec = scene
+    for v in range(NV):
+        cam = take_cam(jax.tree.map(jnp.asarray, cams), v)
+        spec_v = jax.tree.map(lambda x: x[v], spec)
+        l_ref = float(fused.fused_view_loss(params, cam, spec_v, W, H,
+                                            loss_function=loss_fn))
+        l_pal = float(fused_view_loss_pallas(params, cam, spec_v, W, H,
+                                             loss_function=loss_fn))
+        assert abs(l_ref - l_pal) < 1e-6, f"view {v}"
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    spec_v = jax.tree.map(lambda x: x[0], spec)
+    g1 = jax.grad(lambda p: fused.fused_view_loss(
+        p, cam, spec_v, W, H, loss_function=loss_fn))(params)
+    g2 = jax.grad(lambda p: fused_view_loss_pallas(
+        p, cam, spec_v, W, H, loss_function=loss_fn))(params)
+    for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
+        a = np.asarray(getattr(g1, nm))
+        b = np.asarray(getattr(g2, nm))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() < 1e-5 * max(scale, 1e-3), nm
+
+
+def test_windowed_kernel_matches_full(monkeypatch):
+    """The windowed kernel (dynamic crop around the union bbox of splat
+    rects ∪ GT supports, with a fits-cond fallback to the full frame) must
+    reproduce the full kernel's values and gradients. 224×160 rig so the
+    96×128 window is a real crop; the trainer path exercises the per-macro
+    cond under scan."""
+    from skelsplat_tpu.ops.pallas_raster import (pallas_view_profiles,
+                                                 pallas_window_bounds)
+    N, W2, H2, NV2 = 17, 224, 160, 2
+    cams, _, _ = synthetic_rig(n_views=NV2, width=W2, height=H2)
+    rng = np.random.default_rng(5)
+    gt = synthetic_skeleton(N, rng=rng, spread=120.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(NV2)]).astype(np.float32)
+    init = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    params = init_params_jnp(jnp.asarray(init), "h36m", 3.0, 1.0)
+    spec = heatmaps.heatmap_spec(params.xyz, params.covariance(),
+                                 jnp.asarray(p2d), cams, W2, H2)
+    WIN = (96, 256)
+    fits_any = False
+    for v in range(NV2):
+        cam = take_cam(jax.tree.map(jnp.asarray, cams), v)
+        spec_v = jax.tree.map(lambda x: x[v], spec)
+        profs = pallas_view_profiles(spec_v, W2, H2)
+        offs, fits = pallas_window_bounds(params, cam, spec_v, W2, H2,
+                                          *WIN, profiles=profs)
+        if not bool(fits):
+            continue
+        fits_any = True
+        l_full, g_full = jax.value_and_grad(
+            lambda p: fused_view_loss_pallas(p, cam, spec_v, W2, H2,
+                                             profiles=profs))(params)
+        l_win, g_win = jax.value_and_grad(
+            lambda p: fused_view_loss_pallas(
+                p, cam, spec_v, W2, H2, profiles=profs,
+                window=offs, win_shape=WIN))(params)
+        assert abs(float(l_win) - float(l_full)) < 1e-6
+        for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
+            a = np.asarray(getattr(g_full, nm))
+            b = np.asarray(getattr(g_win, nm))
+            sc = max(np.abs(a).max(), 1e-12)
+            assert np.abs(a - b).max() < 1e-5 * max(sc, 1e-3), nm
+    assert fits_any, "no view fit the window — test rig needs adjusting"
+
+    # trainer path: windowed pallas vs fused reference trainer
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256")
+    model = SkeletonModel("h36m", N, scaling=3.0)
+    opt = OptConfig(iterations=6)
+    st = TrainSettings(accumulation_steps=2)
+    t_w = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
+    assert t_w._pallas_win == WIN
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
+    t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
+    pw, hw = t_w.optimize_scene(init, p2d, cams, gt)
+    pf, hf = t_f.optimize_scene(init, p2d, cams, gt)
+    np.testing.assert_allclose(np.asarray(pw.xyz), np.asarray(pf.xyz),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hw.losses), np.asarray(hf.losses),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_pallas_matches_fused_l1(scene):
+    cams, gt, p2d, init, params, spec = scene
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    opt = OptConfig(iterations=8)
+    st = TrainSettings(loss_function="l1_gaussian")
+    t_f = SceneTrainer(model, opt, st, W, H, renderer="fused")
+    t_p = SceneTrainer(model, opt, st, W, H, renderer="pallas")
+    pf, hf = t_f.optimize_scene(init, p2d, cams, gt)
+    pp, hp = t_p.optimize_scene(init, p2d, cams, gt)
+    np.testing.assert_allclose(np.asarray(pp.xyz), np.asarray(pf.xyz),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hp.losses), np.asarray(hf.losses),
+                               rtol=1e-5, atol=1e-7)
