@@ -1,5 +1,29 @@
 """Visualization helpers (port of utils/viz_utils.py — analysis-only in the
-reference, never imported by the entry points). Matplotlib, numpy-in."""
+reference, never imported by the entry points). Matplotlib, numpy-in.
+
+Function-for-function inventory vs the reference module:
+
+=========================  ==============================================
+utils/viz_utils.py         here
+=========================  ==============================================
+show_joints_htmp     :8    show_joints_htmp
+show_single_htmp     :27   show_single_htmp
+plot_rendering       :38   plot_rendering
+save_rendering       :60   save_rendering
+plot_gaussians       :81   plot_gaussian_cloud (multi-set scatter; the
+                           commented-out covariance wireframe lives in
+                           plot_3d_gaussians)
+plot_3d_pose         :103  plot_3d_pose (joints only → skeleton=())
+plot_3d_pose_2       :134  plot_3d_pose (bone segments, H36M_SKELETON)
+plot_3d_pose_3       :202  plot_3d_pose_grounded (y-up swap + floor
+                           grounding, COCO19_SKELETON for panoptic)
+plot_2d_pose         :262  plot_2d_pose
+plot_3d_gaussians    :283  plot_3d_gaussians
+=========================  ==============================================
+
+All functions take ``out_path`` (PNG) instead of the reference's
+interactive ``plt.show()`` so they work headless.
+"""
 
 from __future__ import annotations
 
@@ -11,6 +35,13 @@ H36M_SKELETON = [
     (0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6), (0, 7), (7, 8),
     (8, 9), (9, 10), (8, 11), (11, 12), (12, 13), (8, 14), (14, 15),
     (15, 16),
+]
+
+# CMU-Panoptic COCO19 bone list (viz_utils.py:202-224)
+COCO19_SKELETON = [
+    (0, 1), (0, 3), (3, 4), (4, 5), (0, 9), (9, 10), (10, 11),
+    (2, 6), (6, 7), (7, 8), (2, 12), (12, 13), (13, 14),
+    (1, 15), (15, 17), (1, 16), (16, 18), (2, 0),
 ]
 
 
@@ -124,6 +155,52 @@ def plot_3d_gaussians(means, scaling, opacity=None, color="blue", n_std=2,
                           m[2] + n_std * s[2] * sz,
                           color=color, alpha=0.2, linewidth=0.5)
     ax.scatter(means[:, 0], means[:, 1], means[:, 2], color=color, s=10)
+    return _out(fig, out_path)
+
+
+def plot_gaussian_cloud(xyz_sets, lim=1000.0, out_path=None):
+    """Scatter of one or more (N, 3) point sets, viridis-colored per set
+    (viz_utils.plot_gaussians — its per-view optimized-splat comparison)."""
+    plt = _plt()
+    xyz_sets = np.asarray(xyz_sets)
+    if xyz_sets.ndim == 2:
+        xyz_sets = xyz_sets[None]
+    colors = plt.cm.viridis(np.linspace(0, 1, xyz_sets.shape[0]))
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    for pts, c in zip(xyz_sets, colors):
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], color=c, marker="o",
+                   s=12)
+    for setter in (ax.set_xlim, ax.set_ylim, ax.set_zlim):
+        setter([-lim, lim])
+    return _out(fig, out_path)
+
+
+def plot_3d_pose_grounded(gt_pose, pred_pose=None,
+                          skeleton=COCO19_SKELETON, out_path=None):
+    """Publication-style pose plot (viz_utils.plot_3d_pose_3): swaps to a
+    y-up frame, grounds the lowest joint at z=0, hides the axes chrome."""
+    plt = _plt()
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="3d")
+
+    def prep(pose):
+        pose = np.asarray(pose)[:, [0, 2, 1]]       # y-up
+        return pose - [0.0, 0.0, pose[:, 2].min()]  # floor at z=0
+
+    for pose, color, label in [(gt_pose, "green", "GT"),
+                               (pred_pose, "royalblue", "pred")]:
+        if pose is None:
+            continue
+        pose = prep(pose)
+        for a, b in skeleton:
+            ax.plot([pose[a, 0], pose[b, 0]], [pose[a, 1], pose[b, 1]],
+                    [pose[a, 2], pose[b, 2]], color=color)
+        ax.scatter(pose[:, 0], pose[:, 1], pose[:, 2], color=color,
+                   label=label, s=14)
+    ax.grid(False)
+    ax.set_xticks([]), ax.set_yticks([]), ax.set_zticks([])
+    ax.legend()
     return _out(fig, out_path)
 
 
