@@ -2,20 +2,26 @@
 lpipsPyTorch/ (never imported by the reference entry points; provided for
 surface parity with the eval extras).
 
-Architecture-faithful to lpipsPyTorch/modules/lpips.py: a frozen backbone's
-per-stage features are unit-normalized along channels, squared-differenced,
-passed through 1×1 "LinLayers" and spatially averaged; the per-stage scores
-sum to the distance. Pretrained weights cannot be downloaded in this
-environment (zero egress), so construction takes a weight file:
+Architecture-faithful to lpipsPyTorch/modules/lpips.py + networks.py: a
+frozen backbone's per-stage features are unit-normalized along channels,
+squared-differenced, passed through 1×1 "LinLayers" and spatially averaged;
+the per-stage scores sum to the distance. All three reference backbones are
+implemented — VGG16 (networks.py:88-97), AlexNet (:77-85) and
+SqueezeNet 1.1 (:66-74) — as explicit layer specs mirroring the torchvision
+feature extractors module-for-module (tap indices = the reference's
+``target_layers``).
+
+Pretrained weights cannot be downloaded in this environment (zero egress),
+so construction takes a weight file:
 
 * ``LPIPS.from_npz(path)`` — backbone + linear weights exported to npz
   (see ``export_torch_weights`` for the converter from the torch
-  checkpoints used by the reference);
+  checkpoints used by the reference; run it on a networked machine);
+* ``random_weights(net_type, seed)`` — correctly-shaped random weights
+  (documents the npz schema; the architecture is verified against a torch
+  oracle with these in tests/test_lpips.py);
 * without weights, ``lpips`` raises a clear error rather than silently
   producing meaningless distances.
-
-Only the VGG16 backbone is implemented (the variant the 3DGS ecosystem
-evaluates with); alex/squeeze weights can be exported to the same npz schema.
 """
 
 from __future__ import annotations
@@ -24,86 +30,165 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# VGG16 feature-extractor config up to conv5_3 (torchvision layout), split
-# into the 5 LPIPS stages after each relu block.
-VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-             512, 512, 512, "M", 512, 512, 512]
-VGG16_STAGES = (1, 3, 6, 9, 12)  # convs closing relu1_2,2_2,3_3,4_3,5_3
-N_CHANNELS = [64, 128, 256, 512, 512]
+# Layer specs mirror torchvision's .features module lists one-to-one so the
+# reference's 1-based ``target_layers`` indices apply directly.
+#   ("conv", out_c, kernel, stride, pad) / ("relu",) / ("maxpool", k, s)
+#   ("fire", squeeze_c, expand1x1_c, expand3x3_c)   (squeezenet1_1)
+_C = lambda o, k, s=1, p=None: ("conv", o, k, s, k // 2 if p is None else p)
+_R = ("relu",)
 
-# ImageNet normalization used by lpipsPyTorch/modules/networks.py
+BACKBONES = {
+    "vgg": {
+        # torchvision vgg16().features (networks.py:91)
+        "layers": [_C(64, 3), _R, _C(64, 3), _R, ("maxpool", 2, 2),
+                   _C(128, 3), _R, _C(128, 3), _R, ("maxpool", 2, 2),
+                   _C(256, 3), _R, _C(256, 3), _R, _C(256, 3), _R,
+                   ("maxpool", 2, 2),
+                   _C(512, 3), _R, _C(512, 3), _R, _C(512, 3), _R,
+                   ("maxpool", 2, 2),
+                   _C(512, 3), _R, _C(512, 3), _R, _C(512, 3), _R],
+        "targets": (4, 9, 16, 23, 30),        # networks.py:92
+        "n_channels": (64, 128, 256, 512, 512),
+    },
+    "alex": {
+        # torchvision alexnet().features (networks.py:80)
+        "layers": [_C(64, 11, 4, 2), _R, ("maxpool", 3, 2),
+                   _C(192, 5, 1, 2), _R, ("maxpool", 3, 2),
+                   _C(384, 3), _R, _C(256, 3), _R, _C(256, 3), _R,
+                   ("maxpool", 3, 2)],
+        "targets": (2, 5, 8, 10, 12),          # networks.py:81
+        "n_channels": (64, 192, 384, 256, 256),
+    },
+    "squeeze": {
+        # torchvision squeezenet1_1().features (networks.py:69)
+        "layers": [_C(64, 3, 2, 0), _R, ("maxpool", 3, 2),
+                   ("fire", 16, 64, 64), ("fire", 16, 64, 64),
+                   ("maxpool", 3, 2),
+                   ("fire", 32, 128, 128), ("fire", 32, 128, 128),
+                   ("maxpool", 3, 2),
+                   ("fire", 48, 192, 192), ("fire", 48, 192, 192),
+                   ("fire", 64, 256, 256), ("fire", 64, 256, 256)],
+        "targets": (2, 5, 8, 10, 11, 12, 13),  # networks.py:70
+        "n_channels": (64, 128, 256, 384, 384, 512, 512),
+    },
+}
+
+# ImageNet normalization used by lpipsPyTorch/modules/networks.py:41-43
 _MEAN = np.array([-0.030, -0.088, -0.188], np.float32)
 _STD = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-class LPIPS:
-    """Functional LPIPS with explicit weights pytree."""
+def _conv_shapes(net_type: str):
+    """(out_c, in_c, k, k) for every conv in traversal order (fire modules
+    contribute squeeze, expand1x1, expand3x3)."""
+    shapes, in_c = [], 3
+    for item in BACKBONES[net_type]["layers"]:
+        if item[0] == "conv":
+            _, o, k, s, p = item
+            shapes.append((o, in_c, k, k))
+            in_c = o
+        elif item[0] == "fire":
+            _, sq, e1, e3 = item
+            shapes += [(sq, in_c, 1, 1), (e1, sq, 1, 1), (e3, sq, 3, 3)]
+            in_c = e1 + e3
+    return shapes
 
-    def __init__(self, weights: dict):
+
+class LPIPS:
+    """Functional LPIPS with an explicit weights pytree."""
+
+    def __init__(self, weights: dict, net_type: str = "vgg"):
+        self.net_type = net_type
         self.weights = jax.tree.map(jnp.asarray, weights)
 
     # ------------------------------------------------------------------
     @classmethod
     def from_npz(cls, path: str) -> "LPIPS":
         data = np.load(path)
-        conv_w = [data[f"conv{i}_w"] for i in
-                  range(len([c for c in VGG16_CFG if c != "M"]))]
-        conv_b = [data[f"conv{i}_b"] for i in range(len(conv_w))]
-        lin_w = [data[f"lin{i}_w"] for i in range(5)]
-        return cls({"conv_w": conv_w, "conv_b": conv_b, "lin_w": lin_w})
+        net_type = str(data["net_type"]) if "net_type" in data else "vgg"
+        n_conv = len(_conv_shapes(net_type))
+        n_lin = len(BACKBONES[net_type]["targets"])
+        return cls({"conv_w": [data[f"conv{i}_w"] for i in range(n_conv)],
+                    "conv_b": [data[f"conv{i}_b"] for i in range(n_conv)],
+                    "lin_w": [data[f"lin{i}_w"] for i in range(n_lin)]},
+                   net_type)
 
     @staticmethod
     def export_torch_weights(out_path: str, net_type: str = "vgg"):
-        """Convert the reference's torch checkpoints (torchvision VGG16 +
-        the LPIPS v0.1 LinLayer state dict) to the npz schema. Requires
-        torchvision + the downloaded checkpoints; run where network access
-        exists."""
+        """Convert the reference's torch checkpoints (torchvision backbone +
+        the LPIPS v0.1 LinLayer state dict, utils.py:11-31) to the npz
+        schema. Requires torchvision + network access; run offline and ship
+        the npz."""
         import torch
         import torchvision
 
-        assert net_type == "vgg", "only vgg export implemented"
-        vgg = torchvision.models.vgg16(weights="DEFAULT").features
-        convs = [m for m in vgg if isinstance(m, torch.nn.Conv2d)]
-        out = {}
+        features = {
+            "vgg": lambda: torchvision.models.vgg16(weights="DEFAULT"),
+            "alex": lambda: torchvision.models.alexnet(weights="DEFAULT"),
+            "squeeze": lambda: torchvision.models.squeezenet1_1(
+                weights="DEFAULT"),
+        }[net_type]().features
+        convs = [m for m in features.modules()
+                 if isinstance(m, torch.nn.Conv2d)]
+        out = {"net_type": np.asarray(net_type)}
         for i, m in enumerate(convs):
             out[f"conv{i}_w"] = m.weight.detach().numpy()
             out[f"conv{i}_b"] = m.bias.detach().numpy()
         url = ("https://raw.githubusercontent.com/richzhang/"
-               "PerceptualSimilarity/master/lpips/weights/v0.1/vgg.pth")
+               "PerceptualSimilarity/master/lpips/weights/v0.1/"
+               f"{net_type}.pth")
         sd = torch.hub.load_state_dict_from_url(url, progress=True,
                                                 map_location="cpu")
-        for i in range(5):
+        # get_state_dict's key rename (utils.py:24-31): lin{i}.model.1.weight
+        for i in range(len(BACKBONES[net_type]["targets"])):
             key = f"lin{i}.model.1.weight"
+            if key not in sd:  # unrenamed upstream layout
+                key = f"lin.{i}.1.weight" if f"lin.{i}.1.weight" in sd \
+                    else f"lins.{i}.model.1.weight"
             out[f"lin{i}_w"] = sd[key].detach().numpy()
         np.savez(out_path, **out)
 
     # ------------------------------------------------------------------
+    def _conv(self, h, w, b, stride, pad):
+        dn = jax.lax.conv_dimension_numbers(h.shape, w.shape,
+                                            ("NCHW", "OIHW", "NCHW"))
+        h = jax.lax.conv_general_dilated(
+            h, w, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=dn)
+        return h + b[None, :, None, None]
+
     def _features(self, x):
-        """x: (B,3,H,W) in [-1,1] (lpips convention). Returns the 5
-        unit-normalized stage features."""
+        """x: (B,3,H,W) in [-1,1] (lpips convention). Returns the per-stage
+        unit-normalized features (networks.py:53-62)."""
         x = (x - jnp.asarray(_MEAN)[None, :, None, None]) \
             / jnp.asarray(_STD)[None, :, None, None]
-        feats = []
-        ci = 0
-        h = x
-        for item in VGG16_CFG:
-            if item == "M":
+        cfg = BACKBONES[self.net_type]
+        cw, cb = self.weights["conv_w"], self.weights["conv_b"]
+        feats, ci, h = [], 0, x
+        for mod_i, item in enumerate(cfg["layers"], start=1):
+            if item[0] == "conv":
+                _, o, k, s, p = item
+                h = self._conv(h, cw[ci], cb[ci], s, p)
+                ci += 1
+            elif item[0] == "relu":
+                h = jax.nn.relu(h)
+            elif item[0] == "maxpool":
+                _, k, s = item
                 h = -jax.lax.reduce_window(
-                    -h, jnp.inf, jax.lax.min, (1, 1, 2, 2), (1, 1, 2, 2),
+                    -h, jnp.inf, jax.lax.min, (1, 1, k, k), (1, 1, s, s),
                     "VALID")
-                continue
-            w = self.weights["conv_w"][ci]
-            b = self.weights["conv_b"][ci]
-            dn = jax.lax.conv_dimension_numbers(h.shape, w.shape,
-                                                ("NCHW", "OIHW", "NCHW"))
-            h = jax.lax.conv_general_dilated(
-                h, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
-            h = h + b[None, :, None, None]
-            h = jax.nn.relu(h)
-            if ci in VGG16_STAGES:
+            else:  # fire (squeezenet1_1): squeeze→relu, two expands→relu,
+                #    channel concat
+                sq = jax.nn.relu(self._conv(h, cw[ci], cb[ci], 1, 0))
+                e1 = jax.nn.relu(self._conv(sq, cw[ci + 1], cb[ci + 1], 1, 0))
+                e3 = jax.nn.relu(self._conv(sq, cw[ci + 2], cb[ci + 2], 1, 1))
+                h = jnp.concatenate([e1, e3], axis=1)
+                ci += 3
+            if mod_i in cfg["targets"]:
                 norm = jnp.sqrt(jnp.sum(h * h, axis=1, keepdims=True))
-                feats.append(h / (norm + 1e-10))
-            ci += 1
+                feats.append(h / (norm + 1e-10))   # utils.py:6-8
+            if len(feats) == len(cfg["targets"]):
+                break
         return feats
 
     def __call__(self, x, y):
@@ -118,6 +203,22 @@ class LPIPS:
             score = jnp.sum(d * jnp.reshape(w, (1, -1, 1, 1)), axis=1)
             total = total + jnp.mean(score, axis=(1, 2))
         return total
+
+
+def random_weights(net_type: str = "vgg", seed: int = 0) -> dict:
+    """Correctly-shaped random weights — the npz schema documented as code.
+    Used by the architecture-parity tests (vs a torch oracle); NOT
+    perceptually meaningful."""
+    rng = np.random.default_rng(seed)
+    conv_w, conv_b = [], []
+    for shape in _conv_shapes(net_type):
+        fan_in = shape[1] * shape[2] * shape[3]
+        conv_w.append(rng.normal(0, 1 / np.sqrt(fan_in),
+                                 shape).astype(np.float32))
+        conv_b.append(rng.normal(0, 0.1, shape[0]).astype(np.float32))
+    lin_w = [np.abs(rng.normal(0, 0.05, (1, c, 1, 1))).astype(np.float32)
+             for c in BACKBONES[net_type]["n_channels"]]
+    return {"conv_w": conv_w, "conv_b": conv_b, "lin_w": lin_w}
 
 
 def lpips(x, y, net_type: str = "vgg", version: str = "0.1",
