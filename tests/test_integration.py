@@ -134,7 +134,10 @@ def test_train_dropout_and_stop_iteration_saves(synth, tmp_path_factory):
     """dropout=true draws the torch-RNG masks per scene, and early-stopped
     scenes save ONE PLY under their stop iteration with nothing after
     (train.py:227-233). REPEAT_TOL=1e6 makes the 8-loss window fire at the
-    earliest gated iteration (8)."""
+    earliest possible iteration: 8 for the first scene (the history needs 8
+    entries), and 1 for every later scene — the reference constructs
+    OptEarlyStopping once BEFORE the scene loop (train.py:64), so the
+    carried history is already full at the next scene's first check."""
     import skelsplat_tpu.engine.trainer as trainer_mod
     import train as train_cli
     from skelsplat_tpu.config import DEFAULT_CONFIG_DIR
@@ -164,10 +167,11 @@ def test_train_dropout_and_stop_iteration_saves(synth, tmp_path_factory):
     summary = json.load(open(os.path.join(run_dir, "train_summary.json")))
     assert len(summary["scenes"]) == 2
     pc = os.path.join(run_dir, "point_cloud")
-    for sc in summary["scenes"]:
-        assert sc["stopped_at"] == 8
+    expected_stop = [8, 1]   # fresh history gate, then carried-full history
+    for sc, stop in zip(summary["scenes"], expected_stop):
+        assert sc["stopped_at"] == stop
         name = sc["scene_name"] + ".ply"
-        assert os.path.exists(os.path.join(pc, "iteration_8", name))
+        assert os.path.exists(os.path.join(pc, f"iteration_{stop}", name))
         assert not os.path.exists(os.path.join(pc, "iteration_20", name))
         assert not os.path.exists(os.path.join(pc, "iteration_40", name))
 
@@ -175,14 +179,14 @@ def test_train_dropout_and_stop_iteration_saves(synth, tmp_path_factory):
     # iterations, skips the scenes, and keeps their records in the rewritten
     # summary (hydra '+key' add-prefix must parse too)
     mtimes = {sc["scene_name"]: os.path.getmtime(os.path.join(
-        pc, "iteration_8", sc["scene_name"] + ".ply"))
-        for sc in summary["scenes"]}
+        pc, f"iteration_{stop}", sc["scene_name"] + ".ply"))
+        for sc, stop in zip(summary["scenes"], expected_stop)}
     train_cli.main(["--config-name", str(path),
                     "+training.skip_existing=true"])
     summary2 = json.load(open(os.path.join(run_dir, "train_summary.json")))
     assert len(summary2["scenes"]) == 2
-    for sc in summary2["scenes"]:
-        assert sc["stopped_at"] == 8
+    for sc, stop in zip(summary2["scenes"], expected_stop):
+        assert sc["stopped_at"] == stop
         assert os.path.getmtime(os.path.join(
-            pc, "iteration_8", sc["scene_name"] + ".ply")) \
+            pc, f"iteration_{stop}", sc["scene_name"] + ".ply")) \
             == mtimes[sc["scene_name"]]          # not rewritten → skipped
