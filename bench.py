@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--small", action="store_true",
                     help="256x256 debug size instead of H36M 1000x1002")
+    ap.add_argument("--preset", default="h36m",
+                    choices=["h36m", "panoptic", "op"],
+                    help="dataset scale: h36m 1002x1000x17, panoptic "
+                         "1920x1080x19, op (occlusion-person) 1280x720x15")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure same-chip scene batching at this "
                          "batch size (throughput mode)")
@@ -50,15 +54,20 @@ def main(argv=None):
     from skelsplat_tpu.engine.optim import OptConfig
     from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
 
+    presets = {
+        # (W, H, joints, scene_type) — image sizes per dataset_readers.py
+        "h36m": (1002, 1000, 17, "h36m"),
+        "panoptic": (1920, 1080, 19, "panoptic"),
+        "op": (1280, 720, 15, "occlusion-person"),
+    }
+    W, H, n_joints, scene_type = presets[args.preset]
     if args.small:
         W, H = 256, 256
-    else:
-        W, H = 1002, 1000  # H36M max camera size (dataset_readers.py:68-80)
 
     n = args.frames + 1
-    init, gt, p2d, cams_b = _synthetic_inputs(n, W, H)
+    init, gt, p2d, cams_b = _synthetic_inputs(n, W, H, n_joints=n_joints)
 
-    model = SkeletonModel("h36m", 17, scaling=3.0)
+    model = SkeletonModel(scene_type, n_joints, scaling=3.0)
     trainer = SceneTrainer(model, OptConfig(iterations=args.iterations),
                            TrainSettings(), W, H, renderer="auto")
 
@@ -107,7 +116,7 @@ def main(argv=None):
         value = dt / B
 
     print(json.dumps({
-        "metric": "h36m_frame_opt_seconds",
+        "metric": f"{args.preset}_frame_opt_seconds",
         "value": round(value, 4),
         "unit": "s/frame",
         "vs_baseline": round(REF_SECONDS_PER_FRAME / value, 3),

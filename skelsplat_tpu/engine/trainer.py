@@ -291,14 +291,18 @@ class SceneTrainer:
          self._prepare_b, self._segment_b) = self._build_run()
 
     def _window_config(self):
-        """Static (win_h, win_w) for the windowed Pallas kernel, or None.
+        """Static window-shape cascade for the windowed Pallas kernel:
+        a list of (win_h, win_w), tightest first, or None.
 
-        The kernel then runs on a dynamic (win_h, win_w) crop around the
-        union bbox of splat rects ∪ GT supports — exact via a per-macro
-        fits-cond falling back to the full-frame kernel (pallas_raster.
-        pallas_window_bounds). ``SKELSPLAT_PALLAS_WINDOW`` overrides:
-        "off" disables, "HxW" sets the crop. Only the per-scene path conds
-        (under the batched vmap a cond would execute both branches)."""
+        Each macro step picks the TIGHTEST window that covers every view's
+        union bbox of splat rects ∪ GT supports (pallas_raster.
+        pallas_window_bounds) via lax.switch, falling back to the
+        full-frame kernel when none fits — exact always, and adaptive to
+        how large the skeleton projects (H36M bodies fit 512², Panoptic's
+        wider frames need 768²). ``SKELSPLAT_PALLAS_WINDOW`` overrides:
+        "off" disables, "H1xW1[,H2xW2,…]" sets the cascade. Only the
+        per-scene path switches (under the batched vmap a cond would
+        execute every branch)."""
         import os
 
         from skelsplat_tpu.ops.pallas_raster import LANES, ROWS
@@ -308,14 +312,20 @@ class SceneTrainer:
         if spec == "off":
             return None
         if spec == "auto":
-            wh, ww = min(H_pad, 512), min(W_pad, 512)
+            # tightest first; the wide tier matches Panoptic-scale frames
+            # (measured union bboxes: rows ≤ ~650, cols ≤ ~810 + alignment)
+            sizes = [(512, 512), (768, 1024)]
         else:
-            wh, ww = (int(s) for s in spec.lower().split("x"))
+            sizes = [tuple(int(s) for s in item.lower().split("x"))
+                     for item in spec.split(",")]
+        wins = []
+        for wh, ww in sizes:
             wh = min(-(-wh // ROWS) * ROWS, H_pad)
             ww = min(-(-ww // LANES) * LANES, W_pad)
-        if (wh, ww) == (H_pad, W_pad):
-            return None    # window covers the frame — nothing to crop
-        return wh, ww
+            if (wh, ww) != (H_pad, W_pad) and (wh, ww) not in wins:
+                wins.append((wh, ww))
+        wins.sort(key=lambda s: s[0] * s[1])
+        return wins or None
 
     # ------------------------------------------------------------------
     def _view_loss_dense(self, params, cam, gt_heatmaps_v, pose_2d_v):
@@ -371,16 +381,23 @@ class SceneTrainer:
                                      general)
             return carry, view_aux
 
-        def make_segment(windowed):
-            """``windowed``: (win_h, win_w) to run the Pallas kernel on a
-            dynamic crop with a fits-cond fallback (per-scene path only —
-            under vmap a cond executes both branches), or None."""
+        def make_segment(windows, batched=False):
+            """``windows``: cascade of (win_h, win_w) shapes, tightest
+            first — each macro step switches to the tightest window that
+            covers every view's union bbox, else the full-frame kernel.
+            None disables windowing.
+
+            ``batched``: leading scene axis on carry/inputs. The window
+            switch is hoisted ABOVE the scene/view vmaps in both modes (a
+            vmapped cond executes every branch), so the batched path conds
+            on all-scenes-all-views-fit per macro step."""
 
             def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
                         spatial_lr_scale, k0, n_macro):
                 """Run macro steps k0 .. k0+n_macro−1 (n_macro static)."""
-                nviews = poses_2d.shape[0]
-                view_loss_win = None
+                view_ax = 1 if batched else 0
+                nviews = poses_2d.shape[view_ax]
+                win_shapes = ()
                 if self.renderer == "dense":
                     view_loss = lambda p, cam, g, p2: self._view_loss_dense(
                         p, cam, g, p2)
@@ -390,10 +407,7 @@ class SceneTrainer:
                         self.antialiasing)
                     view_loss = lambda p, cam, aux, p2: pal(
                         p, cam, aux[0], p2, profiles=aux[1])
-                    if windowed is not None:
-                        view_loss_win = lambda p, cam, aux, p2, off: pal(
-                            p, cam, aux[0], p2, profiles=aux[1],
-                            window=off, win_shape=windowed)
+                    win_shapes = tuple(windows or ())
                 else:
                     fused = make_fused_view_loss(
                         self.model, self.settings, self.W, self.H,
@@ -402,36 +416,59 @@ class SceneTrainer:
 
                 general = V_accum != nviews
 
+                def vmap_views(f, extra_axes=()):
+                    """vmap over views, plus scenes when batched; the
+                    params argument maps over scenes only."""
+                    g = jax.vmap(f, in_axes=(None, 0, 0, 0) + extra_axes)
+                    if batched:
+                        g = jax.vmap(g, in_axes=(0, 0, 0, 0)
+                                     + tuple(0 for _ in extra_axes))
+                    return g
+
                 def per_view_grads(p, idxs=None):
                     cams_k, aux_k, p2_k = cameras, view_aux, poses_2d
                     if idxs is not None:
-                        take = lambda x: jnp.take(x, idxs, axis=0)
+                        take = lambda x: jnp.take(x, idxs, axis=view_ax)
                         cams_k = jax.tree.map(take, cameras)
                         aux_k = jax.tree.map(take, view_aux)
-                        p2_k = jnp.take(poses_2d, idxs, axis=0)
-                    if view_loss_win is not None:
-                        offs, fits = jax.vmap(
-                            lambda cam, aux: pallas_window_bounds(
-                                p, cam, aux[0], self.W, self.H,
-                                windowed[0], windowed[1],
+                        p2_k = take(poses_2d)
+
+                    def full_call(_):
+                        f = jax.value_and_grad(view_loss)
+                        return vmap_views(f)(p, cams_k, aux_k, p2_k)
+
+                    if not win_shapes:
+                        return full_call(None)
+
+                    offs_t, fit_t = [], []
+                    for wh, ww in win_shapes:
+                        offs, fits = vmap_views(
+                            lambda p_, cam, aux, p2: pallas_window_bounds(
+                                p_, cam, aux[0], self.W, self.H, wh, ww,
                                 self.antialiasing, profiles=aux[1]))(
-                            cams_k, aux_k)
+                            p, cams_k, aux_k, p2_k)
+                        offs_t.append(offs)
+                        fit_t.append(jnp.all(fits))
 
-                        def win_call(_):
-                            f = jax.value_and_grad(view_loss_win)
-                            return jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
-                                p, cams_k, aux_k, p2_k, offs)
+                    def win_call(t):
+                        def call(_):
+                            f = jax.value_and_grad(
+                                lambda p_, cam, aux, p2, off: pal(
+                                    p_, cam, aux[0], p2, profiles=aux[1],
+                                    window=off, win_shape=win_shapes[t]))
+                            return vmap_views(f, extra_axes=(0,))(
+                                p, cams_k, aux_k, p2_k, offs_t[t])
+                        return call
 
-                        def full_call(_):
-                            f = jax.value_and_grad(view_loss)
-                            return jax.vmap(f, in_axes=(None, 0, 0, 0))(
-                                p, cams_k, aux_k, p2_k)
-
-                        return jax.lax.cond(jnp.all(fits), win_call,
-                                            full_call, None)
-                    f = jax.value_and_grad(view_loss)
-                    return jax.vmap(f, in_axes=(None, 0, 0, 0))(
-                        p, cams_k, aux_k, p2_k)
+                    # first tier whose window covers all views (and all
+                    # scenes when batched); the appended True sentinel
+                    # routes "none fit" to the full-frame kernel
+                    branch = jnp.argmax(jnp.stack(
+                        fit_t + [jnp.asarray(True)]))
+                    return jax.lax.switch(
+                        branch,
+                        [win_call(t) for t in range(len(win_shapes))]
+                        + [full_call], None)
 
                 def macro_step(carry, k):
                     params = carry[0]
@@ -448,26 +485,31 @@ class SceneTrainer:
                     else:
                         idxs = jnp.arange(V_accum, dtype=jnp.int32)
                         losses_v, grads_v = per_view_grads(params)
-                    return compose_macro(
+                    cm = lambda c, lv, gv, gt, ext: compose_macro(
                         self.adam, V_accum, nviews, use_stop, general,
-                        carry, k, losses_v, grads_v, idxs,
-                        pose_3d_gt, spatial_lr_scale)
+                        c, k, lv, gv, idxs, gt, ext)
+                    if batched:
+                        return jax.vmap(cm)(carry, losses_v, grads_v,
+                                            pose_3d_gt, spatial_lr_scale)
+                    return cm(carry, losses_v, grads_v, pose_3d_gt,
+                              spatial_lr_scale)
 
                 carry, recs = jax.lax.scan(
                     macro_step, carry, k0 + jnp.arange(n_macro))
+                if batched:
+                    # (K, B, ...) → the (B, K, ...) batch convention
+                    recs = jax.tree.map(
+                        lambda x: jnp.swapaxes(x, 0, 1), recs)
                 return carry, recs
 
             return segment
 
         segment = make_segment(self._pallas_win)
-        segment_plain = (make_segment(None) if self._pallas_win is not None
-                         else segment)
+        segment_b = make_segment(self._pallas_win, batched=True)
         prepare_b = jax.vmap(prepare)
-        segment_b = jax.vmap(segment_plain,
-                             in_axes=(0, 0, 0, 0, 0, 0, None, None))
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
-                jax.jit(lambda *a: segment_b(*a), static_argnums=(7,)))
+                jax.jit(segment_b, static_argnums=(7,)))
 
     # ------------------------------------------------------------------
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,

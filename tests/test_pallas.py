@@ -168,13 +168,14 @@ def test_windowed_kernel_matches_full(monkeypatch):
             assert np.abs(a - b).max() < 1e-5 * max(sc, 1e-3), nm
     assert fits_any, "no view fit the window — test rig needs adjusting"
 
-    # trainer path: windowed pallas vs fused reference trainer
-    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256")
+    # trainer path: windowed pallas (2-tier cascade: the 32-row tier can
+    # never fit, so the switch must route to tier 1) vs fused trainer
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "32x256,96x256")
     model = SkeletonModel("h36m", N, scaling=3.0)
     opt = OptConfig(iterations=6)
     st = TrainSettings(accumulation_steps=2)
     t_w = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_w._pallas_win == WIN
+    assert t_w._pallas_win == [(32, 256), WIN]
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
     t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
     pw, hw = t_w.optimize_scene(init, p2d, cams, gt)
@@ -182,6 +183,37 @@ def test_windowed_kernel_matches_full(monkeypatch):
     np.testing.assert_allclose(np.asarray(pw.xyz), np.asarray(pf.xyz),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(hw.losses), np.asarray(hf.losses),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_batched_windowed_pallas_matches_fused(monkeypatch):
+    """The batched path hoists the window switch above the scene vmap:
+    a 2-scene batch through the windowed Pallas kernel must match the
+    fused batched trainer."""
+    N, W2, H2, NV2 = 17, 224, 160, 2
+    cams, _, _ = synthetic_rig(n_views=NV2, width=W2, height=H2)
+    rng = np.random.default_rng(5)
+    gt = synthetic_skeleton(N, rng=rng, spread=120.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(NV2)]).astype(np.float32)
+    init = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    inits = np.stack([init, init + rng.normal(0, 10, init.shape)
+                      .astype(np.float32)])
+    gts, p2ds = np.stack([gt, gt]), np.stack([p2d, p2d])
+    cams_b = jax.tree.map(lambda x: np.stack([x, x]), cams)
+    model = SkeletonModel("h36m", N, scaling=3.0)
+    opt = OptConfig(iterations=8)
+    st = TrainSettings(accumulation_steps=2)
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256")
+    t_p = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
+    assert t_p._pallas_win == [(96, 256)]
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
+    t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
+    pp, hp = t_p.optimize_scene_batch(inits, p2ds, cams_b, gts)
+    pf, hf = t_f.optimize_scene_batch(inits, p2ds, cams_b, gts)
+    np.testing.assert_allclose(np.asarray(pp.xyz), np.asarray(pf.xyz),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hp.losses), np.asarray(hf.losses),
                                rtol=1e-5, atol=1e-7)
 
 
