@@ -90,6 +90,17 @@ def main(argv=None):
     # median: robust to interference spikes on shared/tunneled chips
     value = float(np.median(times))
 
+    # steady-state sweep throughput: scenes are independent, so the driver
+    # pipelines them (fetch scene s−1 after dispatching s), hiding the
+    # device→host round-trip (~35 ms through an RPC tunnel)
+    t0 = time.perf_counter()
+    out = [trainer.optimize_scene(init[s], p2d[s], cams_b, gt[s])
+           for s in range(1, n)]
+    assert all(np.isfinite(np.asarray(p.xyz)).all() for p, _ in out)
+    piped = (time.perf_counter() - t0) / (n - 1)
+    print(f"pipelined sweep: {piped:.4f} s/frame "
+          f"({args.frames} frames in flight)", file=sys.stderr)
+
     if args.profile:
         with jax.profiler.trace(args.profile):
             params, hist = trainer.optimize_scene(init[1], p2d[1], cams_b,

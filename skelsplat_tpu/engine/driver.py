@@ -231,12 +231,64 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     # it fresh, like a reference restart)
     hist8_carry = None
 
+    # Scene pipelining: scenes are independent, so the previous scene's
+    # results are fetched AFTER dispatching the current one — hiding the
+    # device→host latency (~35 ms per round-trip through an RPC tunnel)
+    # behind the next scene's on-device work. Depth 2 (one scene in
+    # flight); training.pipeline_scenes=false restores strictly serial
+    # dispatch. The hist8 early-stop carry stays on-device, so pipelining
+    # never forces a sync.
+    pipeline = bool(getattr(training_group, "pipeline_scenes", True))
+    in_flight: list = []
+    scenes_dispatched = 0
+
+    def _finalize(job):
+        nonlocal total_opt_seconds
+        scene_id, record, params, history, pending_saves, saver, t0 = job
+        jax.block_until_ready(params.xyz)
+        dt = time.perf_counter() - t0
+        total_opt_seconds += dt
+
+        stop_it = int(np.asarray(history.stopped_at))
+        for it, prm in pending_saves:
+            if stop_it and it >= stop_it:
+                # post-stop params are frozen at their stop-time values, so
+                # any later checkpoint carries exactly the stop-step state
+                saver(stop_it, prm)
+                break
+            saver(it, prm)
+
+        # per-scene error report (train.py:184-213, 239-242) with the S9
+        # bad-calibration zeroing applied to the LOGGED absolute error
+        subject, activity, step = _parse_scene_name(record.scene_name,
+                                                    dataset.data_root)
+        err = np.asarray(history.error)[-1]
+        err_rel = np.asarray(history.error_rel)[-1]
+        if subject == "S9" and activity in S9_BAD:
+            err = np.zeros_like(err)
+        log.info(f"Scene {record.scene_name}: "
+                 f"abs {err.mean():.2f} rel {err_rel.mean():.2f} "
+                 f"({dt:.2f}s)")
+        _log_tb_history(tb_writer, subject, activity, step, history.losses,
+                        history.error, history.error_rel,
+                        settings.accumulation_steps)
+        results.append({
+            "scene_id": scene_id,
+            "scene_name": record.scene_name,
+            "abs_error": float(err.mean()),
+            "rel_error": float(err_rel.mean()),
+            "seconds": dt,
+            "stopped_at": stop_it,
+        })
+
     for scene_id, record in dataset_loader:
         if skip_existing and os.path.exists(os.path.join(
                 output_dir, "point_cloud",
                 f"iteration_{_done_iteration(record.scene_name)}",
                 f"{record.scene_name}.ply")):
             log.info(f"Scene {record.scene_name}: already done, skipping")
+            while in_flight:   # keep the summary in dataset order
+                _finalize(in_flight.pop(0))
             if settings.dropout:
                 # consume this scene's torch global-RNG draw so the masks of
                 # the remaining scenes stay bitwise in dataset-order sync
@@ -263,7 +315,7 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 
         _save_scene_artifacts(output_dir, record)
 
-        if debug.save_images and not results:
+        if debug.save_images and scenes_dispatched == 0:
             # GT heatmap PNG dump for the first scene (train.py:113-114)
             import jax.numpy as jnp
             from skelsplat_tpu.engine.trainer import init_params_jnp
@@ -307,53 +359,29 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
             drop_mask=dmask, checkpoint_iterations=save_iterations,
             checkpoint_fn=buffer_ckpt, hist8_init=hist8_carry)
         if history.hist8 is not None:
-            hist8_carry = history.hist8
-        jax.block_until_ready(params.xyz)
-        dt = time.perf_counter() - t0
-        total_opt_seconds += dt
-
-        stop_it = int(np.asarray(history.stopped_at))
-        for it, prm in pending_saves:
-            if stop_it and it >= stop_it:
-                # post-stop params are frozen at their stop-time values, so
-                # any later checkpoint carries exactly the stop-step state
-                save_ply_at(stop_it, prm)
-                break
-            save_ply_at(it, prm)
-
-        # per-scene error report (train.py:184-213, 239-242) with the S9
-        # bad-calibration zeroing applied to the LOGGED absolute error
-        subject, activity, step = _parse_scene_name(record.scene_name,
-                                                    dataset.data_root)
-        err = np.asarray(history.error)[-1]
-        err_rel = np.asarray(history.error_rel)[-1]
-        if subject == "S9" and activity in S9_BAD:
-            err = np.zeros_like(err)
-        log.info(f"Scene {record.scene_name}: "
-                 f"abs {err.mean():.2f} rel {err_rel.mean():.2f} "
-                 f"({dt:.2f}s)")
-        _log_tb_history(tb_writer, subject, activity, step, history.losses,
-                        history.error, history.error_rel,
-                        settings.accumulation_steps)
+            hist8_carry = history.hist8   # device array: no sync
+        scenes_dispatched += 1
 
         if debug.save_images:
             _save_images(trainer, params, cameras, output_dir, "render")
 
-        results.append({
-            "scene_id": scene_id,
-            "scene_name": record.scene_name,
-            "abs_error": float(err.mean()),
-            "rel_error": float(err_rel.mean()),
-            "seconds": dt,
-            "stopped_at": int(np.asarray(history.stopped_at)),
-        })
+        in_flight.append((scene_id, record, params, history, pending_saves,
+                          save_ply_at, t0))
+        while len(in_flight) > (1 if pipeline else 0):
+            _finalize(in_flight.pop(0))
+
+    while in_flight:
+        _finalize(in_flight.pop(0))
 
     n = max(len(results), 1)
     log.info(f"Training completed. {len(results)} scenes, "
              f"{total_opt_seconds / n:.3f} s/scene mean")
     with open(os.path.join(output_dir, "train_summary.json"), "w") as f:
         json.dump({"scenes": results,
-                   "mean_seconds_per_scene": total_opt_seconds / n}, f,
+                   "mean_seconds_per_scene": total_opt_seconds / n,
+                   # with pipelining, per-scene seconds overlap the next
+                   # scene's dispatch (dispatch→fetch wall per scene)
+                   "pipelined_scenes": pipeline}, f,
                   indent=2)
     print("Training completed.")
     return results
