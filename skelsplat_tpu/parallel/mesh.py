@@ -110,6 +110,7 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
     use_stop = settings.early_stopping == "opt_early_stopping"
     use_pallas = trainer.renderer == "pallas"
 
+    win_shapes = tuple(trainer._pallas_win or ()) if use_pallas else ()
     if use_pallas:
         _pal = make_pallas_view_loss(model, settings, W, H,
                                      trainer.antialiasing)
@@ -150,12 +151,54 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
         """One macro step on the local (scenes_blk, views_blk) block."""
         nviews_g = poses_2d.shape[1] * n_view_shards
         general = accum != nviews_g
+        params_blk = carry[0]
 
-        def one_scene(carry, aux, p2d, cam, ext, g3d):
-            params = carry[0]
-            f = jax.value_and_grad(view_loss)
-            losses_loc, grads_loc = jax.vmap(f, in_axes=(None, 0, 0, 0))(
-                params, cam, aux, p2d)
+        # ---- phase 1: local per-(scene, view) losses + grads, with the
+        # Pallas window switch hoisted above BOTH vmaps (a vmapped cond
+        # executes every branch) and OUTSIDE all collectives (devices may
+        # pick different tiers; collectives inside diverging branches
+        # would mismatch across shards) ----
+        def vv(f, extra=0):
+            g = jax.vmap(f, in_axes=(None, 0, 0, 0) + (0,) * extra)
+            return jax.vmap(g, in_axes=(0, 0, 0, 0) + (0,) * extra)
+
+        def grads_full(_):
+            return vv(jax.value_and_grad(view_loss))(
+                params_blk, cams, view_aux, poses_2d)
+
+        if win_shapes:
+            from skelsplat_tpu.ops.pallas_raster import pallas_window_bounds
+            offs_t, fit_t = [], []
+            for wh, ww in win_shapes:
+                offs, fits = vv(
+                    lambda p, cam, aux, p2, wh=wh, ww=ww:
+                    pallas_window_bounds(p, cam, aux[0], W, H, wh, ww,
+                                         trainer.antialiasing,
+                                         profiles=aux[1]))(
+                    params_blk, cams, view_aux, poses_2d)
+                offs_t.append(offs)
+                fit_t.append(jnp.all(fits))
+
+            def grads_win(t):
+                def call(_):
+                    f = jax.value_and_grad(
+                        lambda p, cam, aux, p2, off: _pal(
+                            p, cam, aux[0], p2, profiles=aux[1],
+                            window=off, win_shape=win_shapes[t]))
+                    return vv(f, extra=1)(params_blk, cams, view_aux,
+                                          poses_2d, offs_t[t])
+                return call
+
+            branch = jnp.argmax(jnp.stack(fit_t + [jnp.asarray(True)]))
+            losses_blk, grads_blk = jax.lax.switch(
+                branch,
+                [grads_win(t) for t in range(len(win_shapes))]
+                + [grads_full], None)
+        else:
+            losses_blk, grads_blk = grads_full(None)
+
+        # ---- phase 2: gather + compose, per scene ----
+        def one_scene(carry, losses_loc, grads_loc, ext, g3d):
             # the only collectives: gather the per-view summaries over the
             # views axis (ICI) so every shard composes identically
             gather = lambda x: jax.lax.all_gather(x, "views", axis=0,
@@ -177,8 +220,7 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                                  carry, k, losses_vis, grads_vis, idxs,
                                  g3d, ext)
 
-        return jax.vmap(one_scene)(carry, view_aux, poses_2d, cams, extent,
-                                   gt)
+        return jax.vmap(one_scene)(carry, losses_blk, grads_blk, extent, gt)
 
     prepare_sm = jax.shard_map(
         _prepare_local, mesh=mesh,
