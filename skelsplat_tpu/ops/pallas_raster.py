@@ -43,7 +43,13 @@ from skelsplat_tpu.core import geometry
 from skelsplat_tpu.ops import heatmaps as hm
 from skelsplat_tpu.ops import rasterizer
 
-ROWS = 16          # pixel rows per grid program
+import os as _os
+
+# pixel rows per grid program: fewer/taller programs trade per-program
+# overhead against coarser band culling. Measured (PERF.md): 8 < 16 < 32
+# (0.038 vs 0.044 s/frame H36M at 32 vs 16; same ordering on panoptic/op);
+# env knob for experiments.
+ROWS = int(_os.environ.get("SKELSPLAT_PALLAS_ROWS", "32"))
 LANES = 128        # last-dim padding quantum
 
 # gauss pack layout (N, 16): [pix_x, pix_y, conic_a, conic_b, conic_c, opa,
@@ -174,16 +180,19 @@ def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
 
 
 def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
-                dg_ref, T_ref, done_ref, al_ref, Ti_ref, gh_ref, sfx_ref):
+                dg_ref, T_ref, done_ref, al_ref, Ti_ref, sfx_ref):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
-    per-slot (live-masked α, T before the slot, ∂S/∂contrib) into VMEM
-    scratch stacks; pass 2 walks slots in reverse, accumulating the suffix
-    term and the per-slot gradient partials (backward.cu:452-638's α-chain
-    adjoint). Skipped slots store zeros, so the suffix passes through them
-    untouched. One kernel per grad step replaces the fwd+bwd pair (the
-    value_and_grad path never runs _fwd_kernel at all)."""
+    per-slot (live-masked α, T before the slot) into VMEM scratch stacks;
+    pass 2 walks slots in reverse, recomputing the slot's render/GT/mask
+    from those stacks + the profiles (cheaper than a third stack: the
+    ∂S/∂contrib term is live-masked, and live ⇔ stored α > 0, with
+    contrib = α·T exactly), accumulating the suffix term and the per-slot
+    gradient partials (backward.cu:452-638's α-chain adjoint). Skipped
+    slots store zeros, so the suffix passes through them untouched. One
+    kernel per grad step replaces the fwd+bwd pair (the value_and_grad
+    path never runs _fwd_kernel at all)."""
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
     y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
     ys, xs, tile_x, tile_y = _block_geometry(y0f, rows, w_pad,
@@ -206,7 +215,6 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
         rends.append(rend_ov)
         al_ref[i] = zeros
         Ti_ref[i] = zeros
-        gh_ref[i] = zeros
 
         @pl.when(rend_ov)
         def _(i=i):
@@ -227,8 +235,6 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
             # live-masked α: pass 2 recovers live = (stored α > 0)
             al_ref[i] = jnp.where(live, a_i, 0.0)
             Ti_ref[i] = T
-            # ∂S/∂contrib (clip is pass-through on [0, 0.99])
-            gh_ref[i] = jnp.where(mask & live, _derr(d, l1), 0.0)
             done_ref[:] = (done | (gate & (test < geometry.T_MIN)
                                    & (~done))).astype(jnp.float32)
             T_ref[:] = jnp.where(live, test, T)
@@ -248,7 +254,12 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
             a_i = al_ref[i]
             live = a_i > 0.0
             T_i = Ti_ref[i]
-            ghat = gh_ref[i]
+            # recompute ∂S/∂contrib from the stacks: contrib = α·T exactly
+            # (α is live-masked, so r and mask match pass 1 bit-for-bit)
+            r = jnp.clip(a_i * T_i, 0.0, 1.0)
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            mask = ((gt > 0.0) | (r > 0.0)) & in_img
+            ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
             suffix = sfx_ref[:]
             dalpha = jnp.where(
                 live, T_i * ghat - suffix / (1.0 - a_i), 0.0)
@@ -336,7 +347,6 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret):
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # done mask
             pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # live-α stack
             pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # T stack
-            pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # ghat stack
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # suffix
         ],
         interpret=interpret,
