@@ -217,6 +217,32 @@ def test_batched_windowed_pallas_matches_fused(monkeypatch):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_windowed_general_accumulation_matches_fused(monkeypatch):
+    """Windowing must compose with accumulation_steps != nviews: the window
+    bounds are computed on the round-robin-gathered view subset each macro
+    step (3 views, accum 2 → different subsets per macro)."""
+    N, W2, H2, NV3 = 17, 224, 160, 3
+    cams, _, _ = synthetic_rig(n_views=NV3, width=W2, height=H2)
+    rng = np.random.default_rng(7)
+    gt = synthetic_skeleton(N, rng=rng, spread=120.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(NV3)]).astype(np.float32)
+    init = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    model = SkeletonModel("h36m", N, scaling=3.0)
+    opt = OptConfig(iterations=8)
+    st = TrainSettings(accumulation_steps=2)
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256")
+    t_w = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
+    t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
+    pw, hw = t_w.optimize_scene(init, p2d, cams, gt)
+    pf, hf = t_f.optimize_scene(init, p2d, cams, gt)
+    np.testing.assert_allclose(np.asarray(pw.xyz), np.asarray(pf.xyz),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hw.losses), np.asarray(hf.losses),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_trainer_pallas_matches_fused_l1(scene):
     cams, gt, p2d, init, params, spec = scene
     model = SkeletonModel("h36m", N_J, scaling=3.0)
