@@ -24,6 +24,7 @@ from skelsplat_tpu.data.loader import DataLoader, SceneRecord
 from skelsplat_tpu.engine.optim import OptConfig
 from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
 from skelsplat_tpu import losses as loss_registry
+from skelsplat_tpu.utils import fetch_trees
 
 log = logging.getLogger(__name__)
 
@@ -92,36 +93,48 @@ def _save_scene_artifacts(output_dir: str, record: SceneRecord):
 def _save_images(trainer: SceneTrainer, params, cameras, output_dir: str,
                  name: str = "render"):
     """Debug PNG dump of per-camera channel-summed renders
-    (train.py:279-292)."""
+    (train.py:279-292). Renders all views in one jitted program and
+    reduces/normalizes/quantizes ON DEVICE — fetching raw (C,H,W)
+    channels per view costs hundreds of MB through a remote tunnel."""
     import jax.numpy as jnp
     from PIL import Image
     from skelsplat_tpu.ops import rasterizer
 
     os.makedirs(f"{output_dir}/images", exist_ok=True)
     camsj = jax.tree.map(jnp.asarray, cameras)
-    nv = int(np.asarray(cameras.uid).shape[0])
-    for v in range(nv):
-        cam = jax.tree.map(lambda x: x[v], camsj)
-        out = rasterizer.render(params, cam, trainer.W, trainer.H)
-        im = np.asarray(out["render"]).sum(axis=0)
-        rng_ = im.max() - im.min()
-        im = (im - im.min()) / (rng_ if rng_ > 0 else 1.0)
-        Image.fromarray((im * 255).astype(np.uint8)).save(
-            f"{output_dir}/images/{name}_{v}.png")
+
+    fn = getattr(trainer, "_debug_image_fn", None)
+    if fn is None:
+        @jax.jit
+        def fn(params, cams):
+            def one(cam):
+                im = rasterizer.render(
+                    params, cam, trainer.W, trainer.H)["render"].sum(axis=0)
+                lo = im.min()
+                rng_ = im.max() - lo
+                im = (im - lo) / jnp.where(rng_ > 0, rng_, 1.0)
+                return (im * 255).astype(jnp.uint8)
+            return jax.vmap(one)(cams)
+        trainer._debug_image_fn = fn
+    ims = np.asarray(fn(params, camsj))          # (V, H, W) u8, one fetch
+    for v in range(ims.shape[0]):
+        Image.fromarray(ims[v]).save(f"{output_dir}/images/{name}_{v}.png")
 
 
 def _save_heatmaps(gt_heatmaps, output_dir: str, name: str = "heatmap"):
-    """train.py:294-304."""
+    """train.py:294-304. Channel-sum + normalize + quantize on device,
+    fetch (V,H,W) u8 once (the raw (V,C,H,W) stack is hundreds of MB)."""
+    import jax.numpy as jnp
     from PIL import Image
 
     os.makedirs(f"{output_dir}/heatmaps", exist_ok=True)
-    hm = np.asarray(gt_heatmaps)
+    im_v = jnp.asarray(gt_heatmaps).sum(axis=1)
+    lo = im_v.min(axis=(1, 2), keepdims=True)
+    rng_ = im_v.max(axis=(1, 2), keepdims=True) - lo
+    hm = np.asarray(((im_v - lo) / jnp.where(rng_ > 0, rng_, 1.0)
+                     * 255).astype(jnp.uint8))
     for v in range(hm.shape[0]):
-        im = hm[v].sum(axis=0)
-        rng_ = im.max() - im.min()
-        im = (im - im.min()) / (rng_ if rng_ > 0 else 1.0)
-        Image.fromarray((im * 255).astype(np.uint8)).save(
-            f"{output_dir}/heatmaps/{name}_{v}.png")
+        Image.fromarray(hm[v]).save(f"{output_dir}/heatmaps/{name}_{v}.png")
 
 
 def _log_tb_history(tb_writer, subject, activity, step, losses_k, err_k,
@@ -131,15 +144,20 @@ def _log_tb_history(tb_writer, subject, activity, step, losses_k, err_k,
     if tb_writer is None:
         return
     tb_string = f"Subject_{subject}_Activity_{activity}/Step_{step}"
-    K = np.asarray(losses_k).shape[0]
-    for k in range(K):
+    # fetch ONCE: these live on the device, and a per-macro conversion in
+    # the loop would cost a device round-trip per scalar (measured: many
+    # seconds per scene through an RPC tunnel)
+    losses_k = np.asarray(losses_k)
+    err_k = np.asarray(err_k)
+    err_rel_k = np.asarray(err_rel_k)
+    for k in range(losses_k.shape[0]):
         it = (k + 1) * accum
         tb_writer.add_scalar("train_loss_patches/total_loss",
-                             float(np.asarray(losses_k)[k].mean()), it)
+                             float(losses_k[k].mean()), it)
         tb_writer.add_scalar(tb_string + "/absolute_error",
-                             float(np.asarray(err_k)[k].mean()), it)
+                             float(err_k[k].mean()), it)
         tb_writer.add_scalar(tb_string + "/relative_error",
-                             float(np.asarray(err_rel_k)[k].mean()), it)
+                             float(err_rel_k[k].mean()), it)
 
 
 def training(dataset, model_group, opt_group, pipe, debug, training_group,
@@ -245,7 +263,10 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     def _finalize(job):
         nonlocal total_opt_seconds
         scene_id, record, params, history, pending_saves, saver, t0 = job
-        jax.block_until_ready(params.xyz)
+        # everything the finalize needs, in ONE device round-trip (each
+        # individual fetch costs a full RPC through remote tunnels)
+        params, history, pending_saves = fetch_trees(
+            params, history, pending_saves)
         dt = time.perf_counter() - t0
         total_opt_seconds += dt
 
@@ -438,7 +459,10 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
         t0 = time.perf_counter()
         params_b, hist_b = trainer.optimize_scene_batch(
             init_b, p2d_b, cams_b, gt_b)
-        jax.block_until_ready(params_b.xyz)
+        # fetch ONCE for the whole batch (timing through the fetch: on
+        # remote tunnels block_until_ready alone can return early, and the
+        # per-scene loop below must not refetch device arrays per scene)
+        params_b, hist_b = fetch_trees(params_b, hist_b)
         dt = time.perf_counter() - t0
         total += dt
 
@@ -549,7 +573,9 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
         params_b, hist_b = multichip_optimize(
             mesh, trainer, init_b, p2d_b, cams_b, gt_b, drop_b=drop_b,
             checkpoint_iterations=save_iterations, checkpoint_fn=buffer_ckpt)
-        jax.block_until_ready(params_b.xyz)
+        # fetch ONCE for the whole batch (see _training_batched)
+        params_b, hist_b, pending_saves = fetch_trees(
+            params_b, hist_b, pending_saves)
         dt = time.perf_counter() - t0
         total += dt
 

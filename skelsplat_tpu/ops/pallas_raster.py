@@ -5,11 +5,15 @@ This is the TPU-native replacement for the reference's hot path — the CUDA
 renderCUDA forward (forward.cu:278-401) and backward (backward.cu:452-638)
 plus the per-iteration loss (train.py:140-150) — collapsed into one kernel:
 
-* the image is never materialized: each grid program owns a (ROWS, W_pad)
+* the image is never materialized: each grid program owns a (ROWS, W)
   pixel block in VMEM, composites all N depth-sorted Gaussians (N ≤ 19, so
   the loop is unrolled — no binning/sorting machinery on-device), evaluates
   the closed-form GT heatmap from precomputed separable profiles, and
   accumulates the masked error sum S and mask count C;
+* the grid usually covers only a dynamic WINDOW around the union bbox of
+  (splat rects ∪ GT supports) — a static-shape crop selected per macro
+  step via a tier cascade with an exact full-frame fallback
+  (``pallas_window_bounds`` / the trainer's lax.switch);
 * HBM traffic per view is ~N·(H+W+16) floats in and grid·(N·6+2) floats
   out — about 10⁴× less than the reference's per-iteration image traffic;
 * the backward kernel recomputes the per-block compositing chain
@@ -127,7 +131,7 @@ def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
     gate ≡ false here (zero α, unchanged T chain) so its compositing work is
     skipped exactly; if its GT support also misses, the slot contributes
     nothing at all. This exploits the extreme sparsity of skeleton splats
-    (each Gaussian touches ~6 of 63 row bands).
+    (each Gaussian touches a handful of the ROWS-tall bands).
     """
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
     y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]

@@ -64,3 +64,51 @@ def searchForMaxIteration(folder):
     """system_utils.py:26-28."""
     saved_iters = [int(fname.split("_")[-1]) for fname in os.listdir(folder)]
     return max(saved_iters)
+
+
+def fetch_trees(*trees):
+    """Fetch every device array in ``trees`` to numpy in ONE device
+    round-trip.
+
+    Through a remote-device tunnel each host fetch costs a full RPC
+    (~25-35 ms) and ``jax.device_get`` does not batch, so pulling a
+    params pytree + telemetry history leaf-by-leaf costs hundreds of
+    milliseconds per scene. This packs all float32/int32/bool leaves into
+    one flat f32 buffer on-device (ints/bools bitcast, lossless), fetches
+    it once, and unpacks host-side. Non-array leaves (python ints, numpy
+    arrays, None) pass through untouched. Returns the same structures.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(trees)
+    idx = [i for i, l in enumerate(leaves)
+           if isinstance(l, jax.Array) and l.size > 0]
+    if not idx:
+        return trees if len(trees) != 1 else trees[0]
+
+    def pack(x):
+        x = jnp.ravel(x)
+        if x.dtype == jnp.float32:
+            return x
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.int32)
+        if x.dtype in (jnp.int32, jnp.uint32):
+            return jax.lax.bitcast_convert_type(x, jnp.float32)
+        raise TypeError(f"fetch_trees: unsupported dtype {x.dtype}")
+
+    flat = np.asarray(jnp.concatenate([pack(leaves[i]) for i in idx]))
+
+    out = list(leaves)
+    off = 0
+    for i in idx:
+        l = leaves[i]
+        chunk = flat[off:off + l.size]
+        off += l.size
+        if l.dtype == jnp.bool_:
+            chunk = chunk.view(np.int32).astype(bool)
+        elif l.dtype in (jnp.int32, jnp.uint32):
+            chunk = chunk.view(np.dtype(str(l.dtype)))
+        out[i] = chunk.reshape(l.shape)
+    res = jax.tree.unflatten(treedef, out)
+    return res if len(trees) != 1 else res[0]
