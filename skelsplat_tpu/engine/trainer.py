@@ -530,6 +530,8 @@ class SceneTrainer:
         those boundaries, so the default [iterations] case stays one fused
         program.
         """
+        from skelsplat_tpu.utils import put_trees
+
         initial_pose = np.asarray(initial_pose, dtype=np.float32)
         if self.settings.std_dev_noise > 0.0:
             rng = np.random.default_rng(seed=0)  # reproducible (train.py:82)
@@ -538,24 +540,32 @@ class SceneTrainer:
             initial_pose = initial_pose.astype(np.float32)
         if pose_3d_gt is None:
             pose_3d_gt = np.zeros_like(initial_pose)
-        poses_2d = jnp.asarray(np.asarray(poses_2d)[..., :2],
-                               dtype=jnp.float32)
+        poses_2d = np.ascontiguousarray(
+            np.asarray(poses_2d)[..., :2], dtype=np.float32)
         nviews, n = poses_2d.shape[0], poses_2d.shape[1]
         if self.settings.dropout and drop_mask is not None:
             # host-drawn mask (dropout_masks_torch — bitwise reference draw)
-            drop_mask = jnp.asarray(drop_mask, dtype=bool)
+            drop_mask = np.asarray(drop_mask, dtype=bool)
         elif self.settings.dropout and drop_key is not None:
-            drop_mask = hm.dropout_masks(drop_key, nviews, n)
+            drop_mask = hm.dropout_masks(drop_key, nviews, n)  # on device
         else:
-            drop_mask = jnp.zeros((nviews, n), dtype=bool)
+            drop_mask = np.zeros((nviews, n), dtype=bool)
         # extent BEFORE the device put: cameras_extent pulls cam_center to
         # the host, and fetching a freshly device-put array back costs a
         # full device round-trip (~40 ms/frame through an RPC tunnel)
-        extent = jnp.asarray(cameras_extent(cameras), jnp.float32)
-        cameras = jax.tree.map(jnp.asarray, cameras)
-        pose_3d_gt = jnp.asarray(pose_3d_gt, dtype=jnp.float32)
+        extent = np.asarray(cameras_extent(cameras), np.float32)
+        cameras = jax.tree.map(
+            lambda x: x if isinstance(x, jax.Array) else np.asarray(x),
+            cameras)   # device-resident camera leaves stay put
+        pose_3d_gt = np.asarray(pose_3d_gt, dtype=np.float32)
 
-        carry, view_aux = self._prepare(jnp.asarray(initial_pose), poses_2d,
+        # everything to the device in ONE packed transfer (leaf-by-leaf
+        # device_put costs an RPC dispatch per leaf through remote tunnels)
+        (initial_pose, poses_2d, cameras, pose_3d_gt, drop_mask,
+         extent) = put_trees((initial_pose, poses_2d, cameras, pose_3d_gt,
+                              drop_mask, extent))
+
+        carry, view_aux = self._prepare(initial_pose, poses_2d,
                                         cameras, drop_mask)
         use_stop = self.settings.early_stopping == "opt_early_stopping"
         if use_stop and hist8_init is not None:

@@ -112,3 +112,64 @@ def fetch_trees(*trees):
         out[i] = chunk.reshape(l.shape)
     res = jax.tree.unflatten(treedef, out)
     return res if len(trees) != 1 else res[0]
+
+
+_PUT_CACHE: dict = {}
+
+
+def put_trees(*trees):
+    """Transfer every host (numpy) array in ``trees`` to the device in ONE
+    H2D transfer — the inverse of ``fetch_trees``. float32/int32/bool
+    leaves are packed (bitcast, lossless) into one flat f32 buffer; a
+    cached jitted unpacker (one dispatch) slices them back on-device.
+    Device arrays and non-array leaves pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(trees)
+    np_types = (np.float32, np.int32, np.bool_)
+    idx = [i for i, l in enumerate(leaves)
+           if isinstance(l, np.ndarray) and l.size > 0
+           and l.dtype in np_types]
+    if not idx:
+        res = jax.tree.unflatten(treedef, leaves)
+        return res if len(trees) != 1 else res[0]
+
+    specs = tuple((leaves[i].shape, str(leaves[i].dtype)) for i in idx)
+    bufs = []
+    for i in idx:
+        l = np.ravel(leaves[i])
+        if l.dtype == np.bool_:
+            l = l.astype(np.int32)
+        if l.dtype == np.int32:
+            l = l.view(np.float32)
+        bufs.append(l)
+    flat = np.concatenate(bufs)
+
+    unpack = _PUT_CACHE.get(specs)
+    if unpack is None:
+        import functools
+        import math
+
+        @jax.jit
+        def unpack(flat):
+            out, off = [], 0
+            for shape, dt in specs:
+                size = math.prod(shape) if shape else 1
+                chunk = flat[off:off + size]
+                off += size
+                if dt == "bool":
+                    chunk = jax.lax.bitcast_convert_type(
+                        chunk, jnp.int32).astype(bool)
+                elif dt == "int32":
+                    chunk = jax.lax.bitcast_convert_type(chunk, jnp.int32)
+                out.append(chunk.reshape(shape))
+            return out
+        _PUT_CACHE[specs] = unpack
+
+    dev = unpack(jnp.asarray(flat))
+    out = list(leaves)
+    for j, i in enumerate(idx):
+        out[i] = dev[j]
+    res = jax.tree.unflatten(treedef, out)
+    return res if len(trees) != 1 else res[0]
