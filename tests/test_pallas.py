@@ -243,6 +243,43 @@ def test_windowed_general_accumulation_matches_fused(monkeypatch):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_pallas_edge_cases_match_fused(scene):
+    """Degenerate inputs through the Pallas paths: every Gaussian behind
+    the camera (frustum-culled, GT-only loss) and detections far off-image
+    (border-clamped heatmaps) must stay finite and equal the fused path —
+    windowed variant included when its bbox fits."""
+    import dataclasses
+    from skelsplat_tpu.ops.pallas_raster import (pallas_view_profiles,
+                                                 pallas_window_bounds)
+    cams, gt, p2d, init, params, spec = scene
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    sv = jax.tree.map(lambda x: x[0], spec)
+    profs = pallas_view_profiles(sv, W, H)
+
+    behind = dataclasses.replace(
+        params, xyz=params.xyz - jnp.asarray([0.0, 0.0, 1e7]))
+    lw, gw = jax.value_and_grad(lambda p: fused_view_loss_pallas(
+        p, cam, sv, W, H, profiles=profs))(behind)
+    lr = fused.fused_view_loss(behind, cam, sv, W, H)
+    assert np.isfinite(float(lw)) and abs(float(lw) - float(lr)) < 1e-6
+    assert np.isfinite(np.asarray(gw.xyz)).all()
+    offs, fits = pallas_window_bounds(behind, cam, sv, W, H, 48, 128,
+                                      profiles=profs)
+    if bool(fits):
+        lwin = fused_view_loss_pallas(behind, cam, sv, W, H, profiles=profs,
+                                      window=offs, win_shape=(48, 128))
+        assert abs(float(lwin) - float(lw)) < 1e-6
+
+    p2d_bad = np.asarray(p2d).copy()
+    p2d_bad[0] += 5000.0      # far off-image → border clamp (reference)
+    spec2 = heatmaps.heatmap_spec(params.xyz, params.covariance(),
+                                  jnp.asarray(p2d_bad), cams, W, H)
+    sv2 = jax.tree.map(lambda x: x[0], spec2)
+    l2p = fused_view_loss_pallas(params, cam, sv2, W, H)
+    l2f = fused.fused_view_loss(params, cam, sv2, W, H)
+    assert np.isfinite(float(l2p)) and abs(float(l2p) - float(l2f)) < 1e-6
+
+
 def test_trainer_pallas_matches_fused_l1(scene):
     cams, gt, p2d, init, params, spec = scene
     model = SkeletonModel("h36m", N_J, scaling=3.0)
