@@ -545,6 +545,11 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
 
     if window is not None:
         win_h, win_w = win_shape
+        if win_h % ROWS or win_w % LANES:
+            # the grid is win_h // ROWS programs — a misaligned window
+            # would silently drop its last partial band
+            raise ValueError(f"win_shape {win_shape} must be multiples of "
+                             f"(ROWS={ROWS}, LANES={LANES})")
         r_off = window[0].astype(jnp.int32)
         c_off = window[1].astype(jnp.int32)
         p1_s = jax.lax.dynamic_slice(p1_s, (r_off, 0), (win_h, LANES))

@@ -263,12 +263,17 @@ def test_pallas_edge_cases_match_fused(scene):
     lr = fused.fused_view_loss(behind, cam, sv, W, H)
     assert np.isfinite(float(lw)) and abs(float(lw) - float(lr)) < 1e-6
     assert np.isfinite(np.asarray(gw.xyz)).all()
-    offs, fits = pallas_window_bounds(behind, cam, sv, W, H, 48, 128,
+    from skelsplat_tpu.ops.pallas_raster import ROWS
+    wh = 2 * ROWS    # window heights must be ROWS multiples (guarded)
+    offs, fits = pallas_window_bounds(behind, cam, sv, W, H, wh, 128,
                                       profiles=profs)
     if bool(fits):
         lwin = fused_view_loss_pallas(behind, cam, sv, W, H, profiles=profs,
-                                      window=offs, win_shape=(48, 128))
+                                      window=offs, win_shape=(wh, 128))
         assert abs(float(lwin) - float(lw)) < 1e-6
+    with pytest.raises(ValueError, match="multiples"):
+        fused_view_loss_pallas(behind, cam, sv, W, H, profiles=profs,
+                               window=offs, win_shape=(ROWS + 1, 128))
 
     p2d_bad = np.asarray(p2d).copy()
     p2d_bad[0] += 5000.0      # far off-image → border clamp (reference)
