@@ -74,9 +74,17 @@ def fetch_trees(*trees):
     (~25-35 ms) and ``jax.device_get`` does not batch, so pulling a
     params pytree + telemetry history leaf-by-leaf costs hundreds of
     milliseconds per scene. This packs all float32/int32/bool leaves into
-    one flat f32 buffer on-device (ints/bools bitcast, lossless), fetches
-    it once, and unpacks host-side. Non-array leaves (python ints, numpy
-    arrays, None) pass through untouched. Returns the same structures.
+    one flat buffer on-device, fetches it once, and unpacks host-side.
+
+    The carrier dtype is int32, NOT float32: on the TPU backend, float32
+    buffers holding bit patterns that happen to be denormals get flushed
+    to zero and NaN payloads are canonicalized somewhere in the
+    copy/transfer path, so int32 values < 2^23 (all of them, in practice)
+    would silently fetch as 0. Integer ops and D2H transfers preserve
+    bits, and f32 values bitcast to int32 round-trip exactly.
+
+    Non-array leaves (python ints, numpy arrays, None) pass through
+    untouched. Returns the same structures.
     """
     import jax
     import jax.numpy as jnp
@@ -90,11 +98,13 @@ def fetch_trees(*trees):
     def pack(x):
         x = jnp.ravel(x)
         if x.dtype == jnp.float32:
-            return x
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
         if x.dtype == jnp.bool_:
-            x = x.astype(jnp.int32)
-        if x.dtype in (jnp.int32, jnp.uint32):
-            return jax.lax.bitcast_convert_type(x, jnp.float32)
+            return x.astype(jnp.int32)
+        if x.dtype == jnp.int32:
+            return x
+        if x.dtype == jnp.uint32:
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
         raise TypeError(f"fetch_trees: unsupported dtype {x.dtype}")
 
     flat = np.asarray(jnp.concatenate([pack(leaves[i]) for i in idx]))
@@ -105,10 +115,12 @@ def fetch_trees(*trees):
         l = leaves[i]
         chunk = flat[off:off + l.size]
         off += l.size
-        if l.dtype == jnp.bool_:
-            chunk = chunk.view(np.int32).astype(bool)
-        elif l.dtype in (jnp.int32, jnp.uint32):
-            chunk = chunk.view(np.dtype(str(l.dtype)))
+        if l.dtype == jnp.float32:
+            chunk = chunk.view(np.float32)
+        elif l.dtype == jnp.bool_:
+            chunk = chunk.astype(bool)
+        elif l.dtype == jnp.uint32:
+            chunk = chunk.view(np.uint32)
         out[i] = chunk.reshape(l.shape)
     res = jax.tree.unflatten(treedef, out)
     return res if len(trees) != 1 else res[0]
@@ -120,9 +132,11 @@ _PUT_CACHE: dict = {}
 def put_trees(*trees):
     """Transfer every host (numpy) array in ``trees`` to the device in ONE
     H2D transfer — the inverse of ``fetch_trees``. float32/int32/bool
-    leaves are packed (bitcast, lossless) into one flat f32 buffer; a
-    cached jitted unpacker (one dispatch) slices them back on-device.
-    Device arrays and non-array leaves pass through untouched."""
+    leaves are packed into one flat int32 buffer (f32 bitcast host-side;
+    integer transfers are bit-exact on every backend, f32 denormal bit
+    patterns are not on TPU); a cached jitted unpacker (one dispatch)
+    slices and bitcasts them back on-device. Device arrays and non-array
+    leaves pass through untouched."""
     import jax
     import jax.numpy as jnp
 
@@ -141,14 +155,13 @@ def put_trees(*trees):
         l = np.ravel(leaves[i])
         if l.dtype == np.bool_:
             l = l.astype(np.int32)
-        if l.dtype == np.int32:
-            l = l.view(np.float32)
+        if l.dtype == np.float32:
+            l = l.view(np.int32)
         bufs.append(l)
     flat = np.concatenate(bufs)
 
     unpack = _PUT_CACHE.get(specs)
     if unpack is None:
-        import functools
         import math
 
         @jax.jit
@@ -159,10 +172,9 @@ def put_trees(*trees):
                 chunk = flat[off:off + size]
                 off += size
                 if dt == "bool":
-                    chunk = jax.lax.bitcast_convert_type(
-                        chunk, jnp.int32).astype(bool)
-                elif dt == "int32":
-                    chunk = jax.lax.bitcast_convert_type(chunk, jnp.int32)
+                    chunk = chunk.astype(bool)
+                elif dt == "float32":
+                    chunk = jax.lax.bitcast_convert_type(chunk, jnp.float32)
                 out.append(chunk.reshape(shape))
             return out
         _PUT_CACHE[specs] = unpack
