@@ -1,0 +1,431 @@
+"""True-oracle parity: run the REFERENCE's own CPU-runnable torch code and
+assert the JAX ports match it.
+
+Unlike the rest of the suite (which compares against this repo's own numpy
+re-implementations), these tests import the reference's modules directly
+from /root/reference/utils/*.py via importlib — the oracle is the
+reference's code itself, not a transcription. Covered here:
+
+- all 13 registry losses + softargmax2d + limb_3d_consistency
+  (utils/loss_utils.py:41-254)
+- the conv SSIM, both paddings, value and gradient (loss_utils.py:257-300)
+- get_expon_lr_func (utils/general_utils.py:38-71)
+- build_rotation / build_scaling_rotation / strip_symmetric
+  (general_utils.py:73-119; their hardcoded device="cuda" is rewritten to
+  cpu by a TorchFunctionMode — the math is untouched)
+- EarlyStopping / OptEarlyStopping firing traces (general_utils.py:448-491)
+- getWorld2View2 / getProjectionMatrix2 / fov2focal / focal2fov
+  (utils/graphics_utils.py:38-102)
+- a 50-step torch.optim.Adam trajectory with the reference's param groups,
+  eps=1e-15 and scheduled xyz LR (scene/gaussian_model.py:203-248)
+
+The reference modules import tensordict/cupy (unavailable, GPU-only); they
+are stubbed in sys.modules before loading — none of the functions under
+test touch them. Everything runs on CPU torch vs CPU jax in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+import importlib.util
+import math
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (REF / "utils" / "loss_utils.py").exists(),
+    reason="reference checkout not available")
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from skelsplat_tpu import losses as L
+from skelsplat_tpu.core import geometry
+from skelsplat_tpu.core.gaussians import GaussianParams
+from skelsplat_tpu.engine import early_stopping as es
+from skelsplat_tpu.engine.optim import AdamGroups, AdamState, OptConfig
+from skelsplat_tpu.ops import ssim as ssim_ops
+
+
+# --------------------------------------------------------------------------
+# loading the reference's modules as oracles
+# --------------------------------------------------------------------------
+
+def _stub(name, **attrs):
+    if name not in sys.modules:
+        sys.modules[name] = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(sys.modules[name], k, v)
+
+
+@functools.lru_cache()
+def _ref_module(name):
+    import matplotlib
+    matplotlib.use("Agg")
+    _stub("tensordict", TensorDict=dict)
+    _stub("cupy")
+    _stub("cupyx")
+    _stub("cupyx.scipy")
+    _stub("cupyx.scipy.ndimage", gaussian_filter=None)
+    spec = importlib.util.spec_from_file_location(
+        f"_skelsplat_ref_{name}", REF / "utils" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _CudaToCpu(torch.overrides.TorchFunctionMode):
+    """Rewrite explicit device='cuda' factory kwargs to cpu so the
+    reference's GPU-pinned helpers run on CPU torch unmodified."""
+
+    def __torch_function__(self, func, types_, args=(), kwargs=None):
+        kwargs = dict(kwargs or {})
+        dev = kwargs.get("device")
+        if dev is not None and "cuda" in str(dev):
+            kwargs["device"] = "cpu"
+        return func(*args, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+J, H, W = 5, 24, 30
+
+
+def _heatmap_pair(seed=0):
+    """(rendering, gt_heatmap, gt_2d): blob-like maps with genuine zero
+    regions (so the >0 masks are non-trivial) plus in-bounds detections."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    def blobs(centers, sigma):
+        m = np.exp(-(((yy[None] - centers[:, 1, None, None]) ** 2
+                      + (xx[None] - centers[:, 0, None, None]) ** 2)
+                     / (2 * sigma ** 2)))
+        m[m < 1e-3] = 0.0  # hard zeros outside the support
+        return m.astype(np.float32)
+
+    c_gt = rng.uniform([3, 3], [W - 4, H - 4], size=(J, 2)).astype(np.float32)
+    c_rd = c_gt + rng.normal(0, 2.0, size=(J, 2)).astype(np.float32)
+    return blobs(c_rd, 2.1), blobs(c_gt, 1.7), c_gt
+
+
+LOSS_NAMES = sorted(L.losses)
+
+
+def test_registry_names_match_reference():
+    ref = _ref_module("loss_utils")
+    # the reference's registry lives in utils/__init__.py; rebuild it from
+    # the module to avoid importing the package (pulls in scene/, torch cuda)
+    ref_names = {
+        "l1", "l2", "l2_sqrt", "huber", "l1_l2", "l1_huber", "l1_masked",
+        "l1_masked_l2", "l1_masked_huber", "cauchy", "l2_gaussian",
+        "l2_gaussian_l1_gaussian", "l1_gaussian"}
+    assert set(L.losses) == ref_names
+    for n in ref_names:
+        fn_name = {
+            "l1": "l1_loss", "l2": "l2_loss", "l2_sqrt": "l2_loss_sqrt",
+            "huber": "huber_loss", "l1_l2": "l1_l2_loss",
+            "l1_huber": "l1_huber_loss", "l1_masked": "l1_loss_masked",
+            "l1_masked_l2": "l1_masked_l2_loss",
+            "l1_masked_huber": "l1_masked_huber_loss",
+            "cauchy": "cauchy_loss", "l2_gaussian": "l2_loss_gaussian",
+            "l2_gaussian_l1_gaussian": "l2_loss_gaussian_l1_loss_gaussian",
+            "l1_gaussian": "l1_loss_gaussian"}[n]
+        assert hasattr(ref, fn_name)
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum"])
+@pytest.mark.parametrize("name", LOSS_NAMES)
+def test_loss_matches_torch_reference(name, reduction):
+    ref = _ref_module("loss_utils")
+    rd, gt, p2d = _heatmap_pair(seed=hash(name) % 1000)
+    lam = 0.3
+
+    ref_fn = {
+        "l1": ref.l1_loss, "l2": ref.l2_loss, "l2_sqrt": ref.l2_loss_sqrt,
+        "huber": ref.huber_loss, "l1_l2": ref.l1_l2_loss,
+        "l1_huber": ref.l1_huber_loss, "l1_masked": ref.l1_loss_masked,
+        "l1_masked_l2": ref.l1_masked_l2_loss,
+        "l1_masked_huber": ref.l1_masked_huber_loss,
+        "cauchy": ref.cauchy_loss, "l2_gaussian": ref.l2_loss_gaussian,
+        "l2_gaussian_l1_gaussian": ref.l2_loss_gaussian_l1_loss_gaussian,
+        "l1_gaussian": ref.l1_loss_gaussian}[name]
+
+    want = ref_fn(torch.from_numpy(rd), torch.from_numpy(gt),
+                  torch.from_numpy(p2d), lambda_loss=lam, reduction=reduction)
+    if isinstance(want, tuple):  # l2_gaussian's (loss, error_map) quirk
+        want = want[0]
+    want = float(want)
+
+    got, _ = L.losses[name](jnp.asarray(rd), jnp.asarray(gt),
+                            jnp.asarray(p2d), lambda_loss=lam,
+                            reduction=reduction)
+    got = float(got)
+    assert got == pytest.approx(want, rel=2e-5, abs=1e-6), \
+        f"{name}/{reduction}: jax {got} vs torch reference {want}"
+
+
+def test_softargmax2d_matches_torch_reference():
+    ref = _ref_module("loss_utils")
+    rd, _, _ = _heatmap_pair(seed=7)
+    want = ref.softargmax2d(torch.from_numpy(rd)).numpy()
+    got = np.asarray(L.softargmax2d(jnp.asarray(rd)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("root,scene_type,nj", [
+    ("data/h36m/testset", "h36m", 17),
+    ("datasets/panoptic/x", "panoptic", 19),
+    ("occlusion-person/val", "occlusion-person", 15),
+])
+def test_limb_consistency_matches_torch_reference(root, scene_type, nj):
+    ref = _ref_module("loss_utils")
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(0, 500, size=(nj, 3)).astype(np.float32)
+    want = float(ref.limb_3d_consistency_loss(torch.from_numpy(xyz), root))
+    got = float(L.limb_3d_consistency_loss(jnp.asarray(xyz), scene_type))
+    assert got == pytest.approx(want, rel=1e-6, abs=1e-5)
+
+
+# --------------------------------------------------------------------------
+# SSIM (loss_utils.py:257-300) — value and gradient, both paddings
+# --------------------------------------------------------------------------
+
+def _torch_ssim_valid(ref, img1, img2, window_size=11):
+    """The reference's _ssim math with padding=0 (valid). The reference's
+    public ssim() only exposes same-padding; the fused-ssim submodule's
+    VALID mode is this exact formula on the cropped grid (ssim.cu:9-19)."""
+    import torch.nn.functional as F
+    channel = img1.size(-3)
+    window = ref.create_window(window_size, channel)
+    mu1 = F.conv2d(img1, window, padding=0, groups=channel)
+    mu2 = F.conv2d(img2, window, padding=0, groups=channel)
+    s11 = F.conv2d(img1 * img1, window, padding=0, groups=channel) - mu1 ** 2
+    s22 = F.conv2d(img2 * img2, window, padding=0, groups=channel) - mu2 ** 2
+    s12 = F.conv2d(img1 * img2, window, padding=0, groups=channel) - mu1 * mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1 ** 2 + mu2 ** 2 + C1) * (s11 + s22 + C2))
+    return m.mean()
+
+
+@pytest.mark.parametrize("padding", ["same", "valid"])
+def test_ssim_value_and_grad_match_torch_reference(padding):
+    ref = _ref_module("loss_utils")
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 1, size=(3, 20, 26)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+    ta = torch.from_numpy(a)[None].requires_grad_(True)
+    tb = torch.from_numpy(b)[None]
+    if padding == "same":
+        want = ref.ssim(ta, tb)
+    else:
+        want = _torch_ssim_valid(ref, ta, tb)
+    want.backward()
+    want_val = float(want)
+    want_grad = ta.grad[0].numpy()
+
+    if padding == "same":
+        got_val, got_grad = jax.value_and_grad(
+            lambda x: ssim_ops.ssim(x, jnp.asarray(b)))(jnp.asarray(a))
+    else:
+        got_val, got_grad = jax.value_and_grad(
+            lambda x: ssim_ops.fused_ssim(x, jnp.asarray(b),
+                                          padding="valid"))(jnp.asarray(a))
+    np.testing.assert_allclose(float(got_val), want_val, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_grad), want_grad,
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_fused_ssim_same_matches_reference_conv_ssim():
+    """fused_ssim(padding="same") is the fast path the trainer would use for
+    eval extras; its forward must equal the reference conv ssim()."""
+    ref = _ref_module("loss_utils")
+    rng = np.random.default_rng(12)
+    a = rng.uniform(0, 1, size=(1, 24, 24)).astype(np.float32)
+    b = rng.uniform(0, 1, size=(1, 24, 24)).astype(np.float32)
+    want = float(ref.ssim(torch.from_numpy(a)[None], torch.from_numpy(b)[None]))
+    got = float(ssim_ops.fused_ssim(jnp.asarray(a), jnp.asarray(b),
+                                    padding="same"))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+# --------------------------------------------------------------------------
+# general_utils: LR schedule, rotation builders, early stopping
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cfg", [
+    dict(lr_init=5e-4, lr_final=5e-6, max_steps=4000),
+    dict(lr_init=1.6e-4, lr_final=1.6e-6, lr_delay_steps=100,
+         lr_delay_mult=0.01, max_steps=500),
+    dict(lr_init=0.0, lr_final=0.0, max_steps=100),
+])
+def test_expon_lr_matches_torch_reference(cfg):
+    gu = _ref_module("general_utils")
+    helper = gu.get_expon_lr_func(**cfg)
+    steps = [-3, 0, 1, 7, 50, 123, 499, 500, 2000, 4000, 9000]
+    want = np.array([helper(s) for s in steps], np.float32)
+    got = np.array([float(geometry.expon_lr(s, **cfg)) for s in steps],
+                   np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-12)
+
+
+def test_rotation_builders_match_torch_reference():
+    gu = _ref_module("general_utils")
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(9, 4)).astype(np.float32)  # unnormalized wxyz
+    s = np.exp(rng.normal(size=(9, 3))).astype(np.float32)
+    with _CudaToCpu():
+        want_R = gu.build_rotation(torch.from_numpy(q)).numpy()
+        want_L = gu.build_scaling_rotation(
+            torch.from_numpy(s), torch.from_numpy(q)).numpy()
+        sym = want_L @ np.transpose(want_L, (0, 2, 1))
+        want_6 = gu.strip_symmetric(torch.from_numpy(sym)).numpy()
+    got_R = np.asarray(jax.vmap(geometry.quat_to_rotmat)(jnp.asarray(q)))
+    got_L = np.asarray(geometry.build_scaling_rotation(jnp.asarray(s),
+                                                       jnp.asarray(q)))
+    got_6 = np.asarray(geometry.strip_symmetric(jnp.asarray(sym)))
+    np.testing.assert_allclose(got_R, want_R, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_L, want_L, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_6, want_6, rtol=0, atol=0)
+
+
+def test_early_stopping_traces_match_torch_reference():
+    gu = _ref_module("general_utils")
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        # loss streams engineered to sometimes plateau into exact repeats
+        stream = list(rng.uniform(0.1, 1.0, size=20).astype(np.float32))
+        plateau = list(rng.uniform(0.1, 1.0, size=4).astype(np.float32))
+        stream += plateau * 3  # periodic tail triggers OptEarlyStopping
+        ref_opt, got_opt = gu.OptEarlyStopping(), es.OptEarlyStopping()
+        ref_pat, got_pat = gu.EarlyStopping(patience=5), es.EarlyStopping(patience=5)
+        ref_not, got_not = gu.NotStopping(), es.NotStopping()
+        fired_ref = fired_got = None
+        for i, x in enumerate(stream):
+            r, g = bool(ref_opt(float(x))), bool(got_opt(float(x)))
+            assert r == g, f"OptEarlyStopping diverged at {i} (trial {trial})"
+            assert bool(ref_pat(float(x))) == bool(got_pat(float(x)))
+            assert ref_not(float(x)) == got_not(float(x)) == False  # noqa: E712
+            if r and fired_ref is None:
+                fired_ref = i
+        assert fired_ref is not None  # the periodic tail must fire
+
+
+# --------------------------------------------------------------------------
+# graphics_utils: camera matrices
+# --------------------------------------------------------------------------
+
+def test_camera_matrices_match_torch_reference():
+    gfx = _ref_module("graphics_utils")
+    rng = np.random.default_rng(23)
+    q = rng.normal(size=4)
+    R = geometry.qvec2rotmat(q / np.linalg.norm(q))
+    t = rng.normal(0, 2, size=3)
+
+    want = gfx.getWorld2View2(R, t)
+    got = geometry.world2view(R, t)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    translate, scale = np.array([0.5, -1.0, 2.0]), 1.7
+    want = gfx.getWorld2View2(R, t, translate, scale)
+    got = geometry.world2view(R, t, translate, scale)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    K = np.array([[1145.0, 0.0, 512.3], [0.0, 1143.2, 509.1],
+                  [0.0, 0.0, 1.0]])
+    want = gfx.getProjectionMatrix2(0.01, 100.0, K, 1000, 1002).numpy()
+    got = geometry.projection_from_K(0.01, 100.0, K, 1000, 1002)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    want = gfx.getProjectionMatrix(0.01, 100.0, 0.9, 0.8).numpy()
+    got = geometry.projection_symmetric(0.01, 100.0, 0.9, 0.8)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    assert geometry.fov2focal(0.9, 1000) == pytest.approx(
+        gfx.fov2focal(0.9, 1000), rel=1e-12)
+    assert geometry.focal2fov(1145.0, 1000) == pytest.approx(
+        gfx.focal2fov(1145.0, 1000), rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# torch.optim.Adam trajectory with the reference's groups
+# --------------------------------------------------------------------------
+
+def test_adam_trajectory_matches_torch_reference():
+    """50 steps of torch.optim.Adam configured exactly as
+    gaussian_model.py:203-248 (param groups, lr=0.0 base, eps=1e-15,
+    scheduled xyz LR with the spatial_lr_scale folded into the schedule
+    endpoints) against AdamGroups driven with identical grads."""
+    gu = _ref_module("general_utils")
+    rng = np.random.default_rng(41)
+    nj, steps, ext = 17, 50, 2.7
+
+    init = {
+        "xyz": rng.normal(0, 1, (nj, 3)).astype(np.float32),
+        "log_scales": rng.normal(-2, 0.3, (nj, 3)).astype(np.float32),
+        "quats": np.tile(np.float32([1, 0, 0, 0]), (nj, 1))
+        + rng.normal(0, 0.05, (nj, 4)).astype(np.float32),
+        "opacity_logit": rng.normal(2, 0.5, (nj, 1)).astype(np.float32),
+    }
+    grads = [{k: rng.normal(0, 0.1, v.shape).astype(np.float32)
+              for k, v in init.items()} for _ in range(steps)]
+
+    cfg = OptConfig(position_lr_init=5e-4, position_lr_final=5e-6,
+                    position_lr_delay_mult=0.0, position_lr_max_steps=4000,
+                    opacity_lr=0.0, scaling_lr=5e-3, rotation_lr=1e-3)
+
+    # ---- torch side: reference group layout (f_dc/f_rest never get grads,
+    # so torch's Adam skips them — mirrored by their absence here)
+    tp = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+          for k, v in init.items()}
+    f_dc = torch.nn.Parameter(torch.zeros(nj, 1, 3))
+    f_rest = torch.nn.Parameter(torch.zeros(nj, 15, 3))
+    groups = [
+        {"params": [tp["xyz"]], "lr": cfg.position_lr_init * ext, "name": "xyz"},
+        {"params": [f_dc], "lr": cfg.feature_lr, "name": "f_dc"},
+        {"params": [f_rest], "lr": cfg.feature_lr / 20.0, "name": "f_rest"},
+        {"params": [tp["opacity_logit"]], "lr": cfg.opacity_lr, "name": "opacity"},
+        {"params": [tp["log_scales"]], "lr": cfg.scaling_lr, "name": "scaling"},
+        {"params": [tp["quats"]], "lr": cfg.rotation_lr, "name": "rotation"},
+    ]
+    opt = torch.optim.Adam(groups, lr=0.0, eps=1e-15)
+    sched = gu.get_expon_lr_func(
+        lr_init=cfg.position_lr_init * ext, lr_final=cfg.position_lr_final * ext,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        max_steps=cfg.position_lr_max_steps)
+    for it in range(1, steps + 1):
+        for g in opt.param_groups:   # update_learning_rate(iteration)
+            if g["name"] == "xyz":
+                g["lr"] = sched(it)
+        for k in tp:
+            tp[k].grad = torch.from_numpy(grads[it - 1][k].copy())
+        opt.step()
+
+    # ---- jax side
+    adam = AdamGroups(cfg)
+    params = GaussianParams(**{k: jnp.asarray(v) for k, v in init.items()})
+    state = adam.init(params)
+    for it in range(1, steps + 1):
+        g = GaussianParams(**{k: jnp.asarray(v)
+                              for k, v in grads[it - 1].items()})
+        params, state = adam.step(params, g, state, it, spatial_lr_scale=ext)
+
+    for k in init:
+        want = tp[k].detach().numpy()
+        got = np.asarray(getattr(params, k))
+        np.testing.assert_allclose(
+            got, want, rtol=2e-5, atol=2e-7,
+            err_msg=f"Adam trajectory diverged on group {k}")
+    # f_dc / f_rest must remain untouched (grads None in the reference)
+    assert torch.all(f_dc == 0) and torch.all(f_rest == 0)
