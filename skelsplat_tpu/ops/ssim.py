@@ -117,12 +117,8 @@ def _fused_fwd(img1, img2, padding):
     B1 = mu1 * mu1 + mu2 * mu2 + C1
     B2 = s11 + s22 + C2
     m = (A1 * A2) / (B1 * B2)
-    # cached partials (ssim.cu:274-283): ∂m/∂μ1, ∂m/∂σ1², ∂m/∂σ12
-    dm_dmu1 = ((2 * mu2 * A2) / (B1 * B2)
-               - (m * 2 * mu1) / B1
-               - (2 * mu1 * A1 * A2) / (B1 * B1 * B2) * 0.0)
-    # Derive exactly: m = A1·A2 / (B1·B2)
-    #   ∂m/∂μ1 = (2μ2·A2·B1·B2 − A1·A2·B2·2μ1) / (B1·B2)²
+    # cached partials (ssim.cu:274-283), from m = A1·A2 / (B1·B2):
+    #   ∂m/∂μ1 = (2μ2·A2·B1 − 2μ1·A1·A2) / (B1²·B2)
     dm_dmu1 = (2 * mu2 * A2 * B1 - A1 * A2 * 2 * mu1) / (B1 * B1 * B2)
     dm_dsigma1_sq = -(A1 * A2) / (B1 * B2 * B2)
     dm_dsigma12 = (2 * A1) / (B1 * B2)
@@ -140,12 +136,6 @@ def _fused_bwd(padding, res, g):
         pad = WINDOW // 2
         padcfg = [(0, 0), (0, 0), (pad, pad), (pad, pad)]
         g = jnp.pad(g, padcfg)
-        mu1p = jnp.pad(mu1, padcfg)
-        mu2p = jnp.pad(mu2, padcfg)
-        t1 = _sep_conv(g * jnp.pad(dm_dmu1, padcfg), w, "same")
-        t2 = _sep_conv(g * jnp.pad(dm_dsigma1_sq, padcfg), w, "same")
-        t3 = _sep_conv(g * jnp.pad(dm_dsigma12, padcfg), w, "same")
-        # NOTE the μ-terms use the *convolved* products (see below)
         c1 = _sep_conv(g * jnp.pad(dm_dmu1 - 2 * mu1 * dm_dsigma1_sq
                                    - mu2 * dm_dsigma12, padcfg), w, "same")
         c2 = _sep_conv(g * jnp.pad(2 * dm_dsigma1_sq, padcfg), w, "same")
