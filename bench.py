@@ -114,7 +114,7 @@ def main(argv=None):
 
     if args.batch > 1:
         B = args.batch
-        initb, gtb, p2db, _ = _synthetic_inputs(B, W, H)
+        initb, gtb, p2db, _ = _synthetic_inputs(B, W, H, n_joints=n_joints)
         import jax.numpy as jnp
         import numpy as _np
         cams_bb = jax.tree.map(lambda x: _np.stack([_np.asarray(x)] * B),

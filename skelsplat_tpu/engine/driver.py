@@ -64,6 +64,7 @@ def train_settings_from(training_group) -> TrainSettings:
         dropout=bool(training_group.dropout),
         std_dev_noise=float(training_group.std_dev_noise),
         quiet=bool(training_group.quiet),
+        view_fusion=str(getattr(training_group, "view_fusion", "mean")),
     )
 
 
@@ -204,12 +205,20 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     # Same-chip scene batching (throughput mode): an additive config knob —
     # `training.scene_batch=B` vmaps B independent scenes through one
     # program. Falls back to the per-scene path when intermediate
-    # save_iterations, dropout or noise are requested.
+    # save_iterations, dropout, noise or early stopping are requested —
+    # the reference's OptEarlyStopping window straddles scene boundaries
+    # (train.py:64), which is inherently serial: batched scenes would each
+    # start a fresh window and diverge from the per-scene path the parity
+    # tests certify.
     scene_batch = int(getattr(training_group, "scene_batch", 1) or 1)
     batchable = (scene_batch > 1 and not settings.dropout
                  and settings.std_dev_noise == 0.0
+                 and settings.early_stopping == "no_stopping"
                  and all(it >= opt_cfg.iterations or it <= 0
                          for it in save_iterations))
+    if scene_batch > 1 and not batchable:
+        log.info("scene_batch>1 requested but dropout/noise/save_iterations/"
+                 "early_stopping need the per-scene path; batching disabled")
 
     log.info(f"Training on {len(dataset_loader)} scenes")
     total_opt_seconds = 0.0
@@ -259,6 +268,7 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     pipeline = bool(getattr(training_group, "pipeline_scenes", True))
     in_flight: list = []
     scenes_dispatched = 0
+    sweep_t0 = time.perf_counter()
 
     def _finalize(job):
         nonlocal total_opt_seconds
@@ -395,13 +405,19 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         _finalize(in_flight.pop(0))
 
     n = max(len(results), 1)
+    # Mean is WALL CLOCK over the sweep: with pipelining the per-scene
+    # dispatch→fetch intervals overlap (scene s's fetch happens after scene
+    # s+1 is dispatched), so summing them would double-count host work.
+    # Per-scene "seconds" stays the dispatch→fetch latency of that scene.
+    sweep_wall = time.perf_counter() - sweep_t0
+    n_run = max(scenes_dispatched, 1)
     log.info(f"Training completed. {len(results)} scenes, "
-             f"{total_opt_seconds / n:.3f} s/scene mean")
+             f"{sweep_wall / n_run:.3f} s/scene mean (wall)")
     with open(os.path.join(output_dir, "train_summary.json"), "w") as f:
         json.dump({"scenes": results,
-                   "mean_seconds_per_scene": total_opt_seconds / n,
-                   # with pipelining, per-scene seconds overlap the next
-                   # scene's dispatch (dispatch→fetch wall per scene)
+                   "mean_seconds_per_scene": sweep_wall / n_run,
+                   "sweep_wall_seconds": sweep_wall,
+                   "sum_scene_latency_seconds": total_opt_seconds,
                    "pipelined_scenes": pipeline}, f,
                   indent=2)
     print("Training completed.")
@@ -528,6 +544,17 @@ def _training_multichip(dataset, dataset_loader, model, opt_cfg, settings,
     scenes_axis, views_axis = choose_mesh(n_dev, nviews)
     mesh = make_mesh(scenes_axis, views_axis)
     log.info(f"multichip mesh: {dict(mesh.shape)}")
+    if settings.early_stopping != "no_stopping":
+        # the reference's stopper window straddles scene boundaries
+        # (train.py:64) — a serial effect no parallel-scene schedule can
+        # reproduce. On the mesh each batch starts a fresh window; stops
+        # still fire on within-scene plateaus (the dominant case: the >=8
+        # warm-up gate means cross-boundary straddles need an 8-macro-old
+        # carry-over, rare in 62-macro scenes).
+        log.warning("multichip: %s windows reset per mesh batch (the "
+                    "reference's cross-scene stopper state is inherently "
+                    "serial; per-scene path keeps it exactly)",
+                    settings.early_stopping)
 
     trainers = {}
     results = []

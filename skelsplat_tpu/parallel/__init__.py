@@ -1,6 +1,7 @@
 from skelsplat_tpu.parallel.mesh import (choose_mesh, make_mesh,
                                          multichip_train_step,
+                                         multichip_programs,
                                          batch_scene_records)
 
 __all__ = ["choose_mesh", "make_mesh", "multichip_train_step",
-           "batch_scene_records"]
+           "multichip_programs", "batch_scene_records"]

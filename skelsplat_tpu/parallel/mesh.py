@@ -218,7 +218,7 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                 losses_vis, grads_vis = losses_all, grads_all
             return compose_macro(adam, accum, nviews_g, use_stop, general,
                                  carry, k, losses_vis, grads_vis, idxs,
-                                 g3d, ext)
+                                 g3d, ext, view_fusion=settings.view_fusion)
 
         return jax.vmap(one_scene)(carry, losses_blk, grads_blk, extent, gt)
 
@@ -237,7 +237,34 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
 
     prepare = jax.jit(prepare_sm)
     step = jax.jit(step_sm)
-    return prepare, step
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def run_segment(carry, view_aux, p2d, cams, ext, gt, k0, n_seg):
+        def body(c, k):
+            return step(c, view_aux, p2d, cams, ext, gt, k)
+        return jax.lax.scan(body, carry,
+                            k0 + jnp.arange(n_seg, dtype=jnp.int32))
+
+    return prepare, step, run_segment
+
+
+def multichip_programs(mesh: Mesh, trainer: SceneTrainer):
+    """Cached (prepare, step, run_segment) per (trainer, mesh).
+
+    ``jax.jit`` caches on function identity, so rebuilding the closures per
+    mesh batch (as multichip_optimize once did) forced a fresh trace —
+    real money through a ~10-minute remote-compile tunnel. The cache hangs
+    off the trainer (same lifetime as its other compiled programs) and keys
+    on the Mesh, which hashes by device assignment + axis names."""
+    cache = getattr(trainer, "_multichip_programs", None)
+    if cache is None:
+        cache = trainer._multichip_programs = {}
+    progs = cache.get(mesh)
+    if progs is None:
+        progs = cache[mesh] = multichip_train_step(mesh, trainer)
+    return progs
 
 
 def multichip_optimize(mesh: Mesh, trainer: SceneTrainer, initial_b,
@@ -256,8 +283,6 @@ def multichip_optimize(mesh: Mesh, trainer: SceneTrainer, initial_b,
 
     Returns (params_b, MacroHistory with leading B) — the same telemetry
     contract as optimize_scene_batch."""
-    import functools
-
     from skelsplat_tpu.engine.trainer import MacroHistory
 
     initial_b = np.asarray(initial_b, np.float32)
@@ -283,15 +308,8 @@ def multichip_optimize(mesh: Mesh, trainer: SceneTrainer, initial_b,
     cams_b = jax.tree.map(jnp.asarray, cams_b)
     extent_b = jnp.asarray(scene_batch_extents(cams_b))
 
-    prepare, step = multichip_train_step(mesh, trainer)
+    prepare, _step, run_segment = multichip_programs(mesh, trainer)
     carry, view_aux = prepare(initial_b, poses_2d_b, cams_b, drop_b)
-
-    @functools.partial(jax.jit, static_argnums=(7,))
-    def run_segment(carry, view_aux, p2d, cams, ext, gt, k0, n_seg):
-        def body(c, k):
-            return step(c, view_aux, p2d, cams, ext, gt, k)
-        return jax.lax.scan(body, carry,
-                            k0 + jnp.arange(n_seg, dtype=jnp.int32))
 
     accum = trainer.settings.accumulation_steps
     rounded = sorted({min(max(it // accum, 0), trainer.n_macro)

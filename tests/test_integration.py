@@ -190,3 +190,56 @@ def test_train_dropout_and_stop_iteration_saves(synth, tmp_path_factory):
         assert os.path.getmtime(os.path.join(
             pc, f"iteration_{stop}", sc["scene_name"] + ".ply")) \
             == mtimes[sc["scene_name"]]          # not rewritten → skipped
+
+
+def test_scene_batch_with_early_stopping_falls_back(synth, tmp_path_factory):
+    """scene_batch>1 + opt_early_stopping must take the per-scene path: the
+    reference's stopper window straddles scene boundaries (train.py:64),
+    which batching cannot reproduce. The fallback run must match a
+    scene_batch=1 run exactly."""
+    import train as train_cli
+
+    runs = {}
+    for name, batch in [("b1", 1), ("b4", 4)]:
+        run_dir = str(tmp_path_factory.mktemp(f"esb_{name}"))
+        train_cli.main([
+            "--config-name", "h36m.yaml",
+            f"dataset.data_root={synth}", "dataset.end_scene_id=2",
+            "optimization.iterations=32", "debug.save_iterations=[32]",
+            "debug.save_images=false",
+            "training.early_stopping=opt_early_stopping",
+            f"training.scene_batch={batch}",
+            f"hydra.run.dir={run_dir}"])
+        runs[name] = json.load(open(os.path.join(run_dir,
+                                                 "train_summary.json")))
+    # the per-scene path (and only it) records the pipelining flag — its
+    # presence in the batch=4 summary proves the fallback engaged
+    assert "pipelined_scenes" in runs["b4"]
+    for a, b in zip(runs["b1"]["scenes"], runs["b4"]["scenes"]):
+        assert a["scene_name"] == b["scene_name"]
+        assert a["abs_error"] == b["abs_error"]
+        assert a["stopped_at"] == b["stopped_at"]
+
+
+def test_analyze_confidence_workflow(synth, runcfg):
+    """python -m skelsplat_tpu.tools.analyze_confidence over a finished run
+    dir: produces the info JSON (the reference script's missing producer),
+    the k-sigma coverage stats and both plot PNGs."""
+    cfg_path, run_dir = runcfg
+    if not os.path.isdir(os.path.join(run_dir, "point_cloud")):
+        pytest.skip("needs the train run from test_train_eval_pipeline")
+    from skelsplat_tpu.tools import analyze_confidence as ac
+
+    out = os.path.join(run_dir, "confidence_analysis")
+    ac.main([run_dir, "--data-root", synth, "--initial-guess", "metrabs",
+             "--poses-2d", "metrabs", "--end-id", "4", "--out", out])
+    info = json.load(open(os.path.join(out, "info_confidences.json")))
+    assert len(info) == 4
+    first = next(iter(info[0]["info"].values()))
+    for key in ("3d_pred", "3d_gt", "covariance", "error", "joint_errors",
+                "anisotropy", "trace", "eigenvalues"):
+        assert key in first
+    assert os.path.exists(os.path.join(out, "error_vs_trace.png"))
+    assert os.path.exists(os.path.join(out, "sigma_coverage.png"))
+    res = ac.analyze(info)
+    assert 0.0 <= res["coverage"][1] <= res["coverage"][3] <= 1.0

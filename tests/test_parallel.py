@@ -63,7 +63,7 @@ def test_sharded_step_matches_single_device(batch):
     trainer = SceneTrainer(model, opt, settings, W, H, renderer="fused")
 
     mesh = make_mesh(2, 4)
-    prepare, step = multichip_train_step(mesh, trainer)
+    prepare, step, _run = multichip_train_step(mesh, trainer)
     extent_b = jnp.asarray(scene_batch_extents(cams_b))
     camsj = jax.tree.map(jnp.asarray, cams_b)
     drop_b = jnp.zeros(p2d_b.shape[:3], dtype=bool)
@@ -99,7 +99,7 @@ def test_mesh_shapes_and_sharding(batch):
     trainer = SceneTrainer(model, OptConfig(iterations=4),
                            TrainSettings(consistency_loss="none"),
                            W, H, renderer="fused")
-    prepare, step = multichip_train_step(mesh, trainer)
+    prepare, step, _run = multichip_train_step(mesh, trainer)
     drop_b = jnp.zeros(p2d_b.shape[:3], dtype=bool)
     carry, spec_b = prepare(
         jnp.asarray(initial_b), jnp.asarray(p2d_b),
@@ -281,3 +281,41 @@ def test_multichip_windowed_pallas_matches_fused(monkeypatch):
         np.testing.assert_allclose(np.asarray(hist_b.losses)[b],
                                    np.asarray(h_ref.losses),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_programs_cached_across_batches(batch):
+    """The sharded (prepare, step, run_segment) programs must be built ONCE
+    per (trainer, mesh): rebuilding the closures per mesh batch defeats the
+    jit cache (fresh function identity → retrace per batch — real money
+    through a remote-compile tunnel)."""
+    from skelsplat_tpu.parallel import mesh as mesh_mod
+
+    initial_b, gt_b, p2d_b, cams_b = batch
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    trainer = SceneTrainer(model, OptConfig(iterations=8),
+                           TrainSettings(consistency_loss="none"), W, H,
+                           renderer="fused")
+    mesh = make_mesh(2, 4)
+
+    calls = []
+    orig = mesh_mod.multichip_train_step
+    mesh_mod.multichip_train_step = \
+        lambda m, t: (calls.append(1), orig(m, t))[1]
+    try:
+        p1 = mesh_mod.multichip_programs(mesh, trainer)
+        p2 = mesh_mod.multichip_programs(mesh, trainer)
+        assert p1 is p2 and len(calls) == 1
+
+        # two mesh batches through the driver's entry point share the build
+        mesh_mod.multichip_optimize(mesh, trainer, initial_b, p2d_b,
+                                    cams_b, gt_b)
+        mesh_mod.multichip_optimize(mesh, trainer, initial_b, p2d_b,
+                                    cams_b, gt_b)
+        assert len(calls) == 1
+    finally:
+        mesh_mod.multichip_train_step = orig
+
+    # an equivalent mesh object hashes equal → still no rebuild
+    mesh2 = make_mesh(2, 4)
+    assert mesh_mod.multichip_programs(mesh2, trainer) is p1
