@@ -88,7 +88,7 @@ def stop_offset(hist8, cur, k1, tol):
 
 def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
                   general: bool, carry, k, losses_v, grads_v, idxs,
-                  pose_3d_gt, spatial_lr_scale):
+                  pose_3d_gt, spatial_lr_scale, view_fusion: str = "mean"):
     """One macro step's gradient composition + Adam update + telemetry —
     the exact reference semantics (train.py:155-233), shared by the
     single-chip scan and the multi-chip mesh step (which feeds it
@@ -99,7 +99,20 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
     ``losses_v``/``grads_v``: the A visited views' losses/grads in visit
     order; ``idxs``: their global view indices. Returns (new_carry, rec)
     with rec = (losses_v, err, err_rel, stop_mark).
+
+    ``view_fusion`` selects the xyz fusion: "mean" is the reference's
+    plain mean (train.py:215-218); "confidence_weighted" applies the
+    paper's per-view confidence weighting (ops/similarity.py, the
+    similarity_utils.py:30-188 pipeline the reference ships but never
+    wires in) — additive, off by default for parity.
     """
+    if view_fusion == "confidence_weighted":
+        from skelsplat_tpu.ops.similarity import confidence_weighted_mean
+        fuse_xyz = confidence_weighted_mean
+    elif view_fusion == "mean":
+        fuse_xyz = lambda g: jnp.mean(g, axis=0)
+    else:
+        raise ValueError(f"unknown view_fusion {view_fusion!r}")
     acc_gx = None
     if general or use_stop:
         carry, acc_gx = carry[:-1], carry[-1]
@@ -131,7 +144,7 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
         else:
             row_new = (jnp.arange(V_accum)[:, None, None] < m_star)
             acc_gx = jnp.where(row_new, grads_v.xyz, acc_gx)
-        g_xyz = jnp.mean(acc_gx, axis=0)
+        g_xyz = fuse_xyz(acc_gx)
         oidx = m_star - 1            # == V_accum-1 when not stopping
         grads = GaussianParams(
             xyz=g_xyz,
@@ -146,9 +159,9 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
         stop_now = jnp.asarray(False)
         if general:
             acc_gx = acc_gx.at[idxs].set(grads_v.xyz)
-            g_xyz = jnp.mean(acc_gx, axis=0)
+            g_xyz = fuse_xyz(acc_gx)
         else:
-            g_xyz = jnp.mean(grads_v.xyz, axis=0)
+            g_xyz = fuse_xyz(grads_v.xyz)
         last = V_accum - 1
         grads = GaussianParams(
             xyz=g_xyz,
@@ -218,6 +231,9 @@ class TrainSettings:
     dropout: bool = False
     std_dev_noise: float = 0.0
     quiet: bool = True
+    # additive: xyz view-fusion mode — "mean" (reference, train.py:215-218)
+    # or "confidence_weighted" (the similarity_utils.py pipeline made live)
+    view_fusion: str = "mean"
 
 
 def init_params_jnp(initial_pose, scene_type: str, scaling: float,
@@ -487,7 +503,8 @@ class SceneTrainer:
                         losses_v, grads_v = per_view_grads(params)
                     cm = lambda c, lv, gv, gt, ext: compose_macro(
                         self.adam, V_accum, nviews, use_stop, general,
-                        c, k, lv, gv, idxs, gt, ext)
+                        c, k, lv, gv, idxs, gt, ext,
+                        view_fusion=self.settings.view_fusion)
                     if batched:
                         return jax.vmap(cm)(carry, losses_v, grads_v,
                                             pose_3d_gt, spatial_lr_scale)

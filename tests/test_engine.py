@@ -620,3 +620,39 @@ def test_optimize_scene_hist8_carry_fires_immediately(scene):
     assert hist.hist8 is not None
     # the carried-out history holds the stop-time window: 7 seeds + loss_1
     np.testing.assert_allclose(np.asarray(hist.hist8[:7]), 0.5)
+
+
+def test_confidence_weighted_view_fusion_engages(scene):
+    """training.view_fusion=confidence_weighted (the similarity_utils.py
+    pipeline made live) on a scene with one corrupted view: the mode must
+    change the trajectory, stay finite, and on this occluded rig not lose
+    to the plain mean on the corrupted joints."""
+    cams, gt, p2d, init = scene
+    p2d_occ = p2d.copy()
+    # view 3's detections for joints 0-5 are wildly wrong ("occlusion")
+    p2d_occ[3, :6, :2] = p2d_occ[3, :6, :2] + np.float32([40.0, -35.0])
+
+    outs = {}
+    for mode in ("mean", "confidence_weighted"):
+        tr = SceneTrainer(_model(), OptConfig(iterations=100),
+                          TrainSettings(consistency_loss="none",
+                                        view_fusion=mode), W, H,
+                          renderer="fused")
+        params, hist = tr.optimize_scene(init, p2d_occ, cams, gt)
+        xyz = np.asarray(params.xyz)
+        assert np.isfinite(xyz).all()
+        outs[mode] = (xyz, float(np.asarray(hist.error)[-1].mean()))
+
+    # the mode engages: trajectories genuinely differ
+    assert not np.allclose(outs["mean"][0], outs["confidence_weighted"][0])
+    # and does not catastrophically regress on the occluded scene
+    assert outs["confidence_weighted"][1] <= outs["mean"][1] * 1.5
+
+
+def test_view_fusion_unknown_mode_raises(scene):
+    cams, gt, p2d, init = scene
+    tr = SceneTrainer(_model(), OptConfig(iterations=8),
+                      TrainSettings(view_fusion="nope"), W, H,
+                      renderer="fused")
+    with pytest.raises(ValueError, match="view_fusion"):
+        tr.optimize_scene(init, p2d, cams, gt)

@@ -81,15 +81,17 @@ def test_similarity_weights(rng):
     # make views 0-2 agree on joint 0, view 3 disagree
     grads[0, 0] = grads[1, 0] = grads[2, 0] = [1.0, 0, 0]
     grads[3, 0] = [-1.0, 0, 0]
-    w = np.asarray(similarity.consistency_weights(jnp.asarray(grads)))
+    w = np.asarray(similarity.compute_scaling_weights(
+        similarity.pairwise_cosine_norm_similarity(jnp.asarray(grads))))
     assert w.shape == (4, 17)
-    np.testing.assert_allclose(w.sum(0), 1.0, atol=1e-6)
     assert w[3, 0] < w[0, 0]  # disagreeing view downweighted
-    sim = np.asarray(similarity.cosine_similarity_matrix(jnp.asarray(grads)))
+    sim = np.asarray(similarity.pairwise_cosine_similarity(jnp.asarray(grads)))
     assert np.isclose(sim[0, 0, 1], 1.0, atol=1e-6)
     assert np.isclose(sim[0, 0, 3], -1.0, atol=1e-6)
     idx = np.asarray(similarity.select_consistent_views(jnp.asarray(grads), 3))
     assert 3 not in idx[0]
+    cons = np.asarray(similarity.identify_consistent_views(sim))
+    assert cons[0, 0] and cons[0, 1] and cons[0, 2] and not cons[0, 3]
 
 
 def test_ab_harness(tmp_path, rng):

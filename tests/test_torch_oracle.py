@@ -429,3 +429,144 @@ def test_adam_trajectory_matches_torch_reference():
             err_msg=f"Adam trajectory diverged on group {k}")
     # f_dc / f_rest must remain untouched (grads None in the reference)
     assert torch.all(f_dc == 0) and torch.all(f_rest == 0)
+
+
+# --------------------------------------------------------------------------
+# similarity_utils: per-view confidence weighting pipeline
+# --------------------------------------------------------------------------
+
+def _grad_stack(seed=0, V=4, N=17, D=3, zero_view=None):
+    rng = np.random.default_rng(seed)
+    g = rng.normal(0, 1.0, (V, N, D)).astype(np.float32)
+    if zero_view is not None:
+        g[zero_view] = 0.0  # exercises the eps guards
+    return g
+
+
+@pytest.mark.parametrize("zero_view", [None, 2])
+def test_pairwise_cosine_similarity_matches_torch_reference(zero_view):
+    from skelsplat_tpu.ops import similarity as S
+    su = _ref_module("similarity_utils")
+    g = _grad_stack(seed=3, zero_view=zero_view)
+    want = su.pairwise_cosine_similarity(torch.from_numpy(g)).numpy()
+    got = np.asarray(S.pairwise_cosine_similarity(jnp.asarray(g)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("w1,w2", [(0.2, 0.8), (0.5, 0.5)])
+@pytest.mark.parametrize("zero_view", [None, 1])
+def test_pairwise_cosine_norm_similarity_matches_torch_reference(
+        w1, w2, zero_view):
+    from skelsplat_tpu.ops import similarity as S
+    su = _ref_module("similarity_utils")
+    g = _grad_stack(seed=5, zero_view=zero_view)
+    want = su.pairwise_cosine_norm_similarity(
+        torch.from_numpy(g), w1=w1, w2=w2).numpy()
+    got = np.asarray(S.pairwise_cosine_norm_similarity(
+        jnp.asarray(g), w1=w1, w2=w2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_identify_consistent_views_matches_torch_reference():
+    from skelsplat_tpu.ops import similarity as S
+    su = _ref_module("similarity_utils")
+    g = _grad_stack(seed=7)
+    sim_t = su.pairwise_cosine_similarity(torch.from_numpy(g))
+    for thr in (0.0, 0.3, 0.5):
+        want = su.identify_consistent_views(sim_t, threshold=thr).numpy()
+        got = np.asarray(S.identify_consistent_views(
+            jnp.asarray(sim_t.numpy()), threshold=thr))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_scaling_weights_match_torch_reference():
+    """compute_scaling_weights + weight_function vs the reference; V=4 so
+    the reference's hardcoded /3 equals the generalized V-1."""
+    from skelsplat_tpu.ops import similarity as S
+    su = _ref_module("similarity_utils")
+    g = _grad_stack(seed=11)
+    sim_t = su.pairwise_cosine_norm_similarity(torch.from_numpy(g))
+    with _CudaToCpu():
+        want = su.compute_scaling_weights(sim_t).numpy()
+    got = np.asarray(S.compute_scaling_weights(jnp.asarray(sim_t.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    s = np.linspace(-1.2, 1.2, 41).astype(np.float32)
+    want_w = su.weight_function(torch.from_numpy(s)).numpy()
+    got_w = np.asarray(S.weight_function(jnp.asarray(s)))
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-6, atol=1e-7)
+
+
+def test_select_views_matches_torch_reference():
+    from skelsplat_tpu.ops import similarity as S
+    su = _ref_module("similarity_utils")
+    rng = np.random.default_rng(13)
+    for trial in range(8):
+        err = rng.uniform(0, 5, (6, 17)).astype(np.float32)
+        w_sel, w_best, w_final = su.select_views(torch.from_numpy(err))
+        scores = w_sel.sum(dim=1).numpy()
+        g_sel, g_best, g_final = S.select_views(jnp.asarray(err))
+        np.testing.assert_array_equal(np.asarray(g_sel), w_sel.numpy())
+        np.testing.assert_array_equal(np.asarray(g_final), w_final.numpy())
+        if len(np.unique(scores)) == len(scores):  # tie-free ordering
+            np.testing.assert_array_equal(np.asarray(g_best), w_best.numpy())
+        else:  # with ties only the score multiset is defined
+            assert sorted(scores[np.asarray(g_best)]) == \
+                sorted(scores[w_best.numpy()])
+
+
+# --------------------------------------------------------------------------
+# error/confidence analysis (analize_error_confidence_correlation.py)
+# --------------------------------------------------------------------------
+
+def test_confidence_analysis_matches_reference_script(tmp_path):
+    """get_means_covs_gt + k-sigma coverage vs the reference's own script
+    functions, over a synthetic info JSON in the reference schema."""
+    from skelsplat_tpu import analysis
+    from skelsplat_tpu.tools import analyze_confidence as ac
+    ref = _ref_module("analize_error_confidence_correlation")
+
+    rng = np.random.default_rng(19)
+    nsc, nj = 5, 17
+    info = []
+    for s in range(nsc):
+        rec = {"scene": f"S9_Directions_{s:06d}", "info": {}}
+        joint_errors = rng.uniform(1, 60, nj)
+        for j, name in enumerate(ac.H36M_JOINT_NAMES):
+            A = rng.normal(0, 1, (3, 3))
+            cov = A @ A.T + np.eye(3) * 0.5
+            rec["info"][name] = {
+                "3d_pred": rng.normal(0, 100, 3).tolist(),
+                "3d_gt": rng.normal(0, 100, 3).tolist(),
+                "covariance": cov.tolist(),
+                "error": float(joint_errors[j]),
+                "joint_errors": joint_errors.tolist(),
+                "anisotropy": 1.0,
+                "trace": float(np.trace(cov)),
+                "eigenvalues": np.linalg.eigvalsh(cov).tolist(),
+            }
+        info.append(rec)
+    path = tmp_path / "info.json"
+    path.write_text(__import__("json").dumps(info))
+
+    want_m, want_c, want_g = ref.get_means_covs_gt(str(path))
+    got_m, got_c, got_g = ac.get_means_covs_gt(str(path))
+    np.testing.assert_array_equal(got_m, want_m)
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_g, want_g)
+
+    want_cov = ref.percent_inside_sigmas(want_m, want_c, want_g)
+    got_cov = analysis.percent_inside_sigmas(got_m, got_c, got_g)
+    for k in (1, 2, 3):
+        assert got_cov[k] == pytest.approx(want_cov[k], abs=1e-12)
+
+    want_pj = ref.percent_inside_sigmas_per_joint(
+        want_m.reshape(nsc, nj, 3), want_c.reshape(nsc, nj, 3, 3),
+        want_g.reshape(nsc, nj, 3), ac.H36M_JOINT_NAMES)
+    got_pj = analysis.percent_inside_sigmas_per_joint(
+        got_m.reshape(nsc, nj, 3), got_c.reshape(nsc, nj, 3, 3),
+        got_g.reshape(nsc, nj, 3), ac.H36M_JOINT_NAMES)
+    for name in ac.H36M_JOINT_NAMES:
+        for k in (1, 2, 3):
+            assert got_pj[name][k] == pytest.approx(want_pj[name][k],
+                                                    abs=1e-12)
