@@ -23,17 +23,20 @@ def percent_inside_sigmas(means, covs, gt, ks=(1, 2, 3)):
 
 def percent_inside_sigmas_per_joint(means, covs, gt, joint_names,
                                     ks=(1, 2, 3)):
-    """Per-joint k-sigma coverage
-    (analize_error_confidence_correlation.py)."""
+    """Per-joint k-sigma coverage over a batch of scenes
+    (analize_error_confidence_correlation.py:86-113): means/gt are
+    (N, J, 3), covs (N, J, 3, 3); returns
+    dict[joint_name][k] = fraction of the N scenes whose GT joint lies
+    inside the optimized Gaussian's k-sigma ellipsoid."""
     means = np.asarray(means)
     covs = np.asarray(covs)
     gt = np.asarray(gt)
-    inv_covs = np.linalg.inv(covs)
-    deltas = gt - means
-    d2 = np.einsum("ni,nij,nj->n", deltas, inv_covs, deltas)
+    deltas = gt - means                                   # (N,J,3)
+    inv_covs = np.linalg.inv(covs)                        # (N,J,3,3)
+    d2 = np.einsum("nji,njik,njk->nj", deltas, inv_covs, deltas)
     out = {}
     for j, name in enumerate(joint_names):
-        out[name] = {k: bool(d2[j] <= k ** 2) for k in ks}
+        out[name] = {k: float(np.mean(d2[:, j] <= k ** 2)) for k in ks}
     return out
 
 

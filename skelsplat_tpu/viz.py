@@ -178,15 +178,22 @@ def plot_gaussian_cloud(xyz_sets, lim=1000.0, out_path=None):
 
 def plot_3d_pose_grounded(gt_pose, pred_pose=None,
                           skeleton=COCO19_SKELETON, out_path=None):
-    """Publication-style pose plot (viz_utils.plot_3d_pose_3): swaps to a
-    y-up frame, grounds the lowest joint at z=0, hides the axes chrome."""
+    """Publication-style pose plot (viz_utils.plot_3d_pose_3): appends a
+    pelvis joint for <=18-joint poses (midpoint of joints 8 and 11,
+    viz_utils.py:232-234), swaps to the (x, z, y) frame and grounds the
+    minimum of column 1 — the reference's vertical axis after the swap
+    (viz_utils.py:210-215) — then hides the axes chrome."""
     plt = _plt()
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(111, projection="3d")
 
     def prep(pose):
-        pose = np.asarray(pose)[:, [0, 2, 1]]       # y-up
-        return pose - [0.0, 0.0, pose[:, 2].min()]  # floor at z=0
+        pose = np.asarray(pose)
+        if pose.shape[0] <= 18:
+            pelvis = (pose[8] + pose[11]) / 2
+            pose = np.vstack([pose, pelvis])
+        pose = pose[:, [0, 2, 1]]                   # (x, z, y)
+        return pose - [0.0, pose[:, 1].min(), 0.0]  # ground column 1
 
     for pose, color, label in [(gt_pose, "green", "GT"),
                                (pred_pose, "royalblue", "pred")]:
