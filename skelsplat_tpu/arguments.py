@@ -1,132 +1,146 @@
-"""Legacy argparse parameter groups (port of arguments/__init__.py:47-126).
+"""Legacy argparse parameter groups — compat surface for upstream-3DGS
+tooling (role of arguments/__init__.py; vestigial in the reference, where
+only the broken render.py consumes it).
 
-Vestigial in the reference (only the broken render.py uses them); kept for
-surface parity with upstream-3DGS tooling that builds CLIs from these
-groups.
+Original implementation: groups are declarative ``(name, default,
+has_shorthand)`` tables rather than reflection over instance attributes,
+and the saved-config merge parses ``cfg_args`` with ``ast`` instead of
+``eval`` (same accepted inputs — ``Namespace(...)`` reprs with literal
+values — without executing arbitrary code).
 """
 
 from __future__ import annotations
 
+import ast
+import os
+import sys
 from argparse import ArgumentParser, Namespace
 
 
 class GroupParams:
-    pass
+    """Attribute bag returned by ``ParamGroup.extract``."""
 
 
 class ParamGroup:
-    """arguments/__init__.py:18-44: auto-register dataclass-ish attributes
-    as CLI flags ('_'-prefixed attrs get shorthand flags)."""
+    """Builds an argparse group from the subclass's ``SPEC`` table and
+    extracts the matching subset of parsed args.
 
-    def __init__(self, parser: ArgumentParser, name: str, fill_none=False):
-        group = parser.add_argument_group(name)
-        for key, value in vars(self).items():
-            shorthand = False
-            if key.startswith("_"):
-                shorthand = True
-                key = key[1:]
-            t = type(value)
-            value = value if not fill_none else None
-            args = [f"--{key}"]
-            if shorthand:
-                args.append("-" + key[0:1])
-            if t == bool:
-                group.add_argument(*args, default=value, action="store_true")
+    SPEC rows: ``(flag_name, default, shorthand)`` — ``shorthand=True``
+    also registers ``-<first letter>``. bool defaults become store_true
+    flags; with ``fill_none=True`` every default is registered as None so
+    a later merge can tell "explicitly passed" from "defaulted".
+    """
+
+    SPEC: tuple[tuple[str, object, bool], ...] = ()
+    TITLE = "Parameters"
+
+    def __init__(self, parser: ArgumentParser, fill_none: bool = False):
+        group = parser.add_argument_group(self.TITLE)
+        for name, default, shorthand in self.SPEC:
+            flags = [f"--{name}"] + ([f"-{name[0]}"] if shorthand else [])
+            if isinstance(default, bool):
+                group.add_argument(*flags, action="store_true",
+                                   default=None if fill_none else default)
             else:
-                group.add_argument(*args, default=value, type=t)
+                group.add_argument(*flags, type=type(default),
+                                   default=None if fill_none else default)
 
-    def extract(self, args) -> GroupParams:
-        group = GroupParams()
-        for arg in vars(args).items():
-            if arg[0] in vars(self) or ("_" + arg[0]) in vars(self):
-                setattr(group, arg[0], arg[1])
-        return group
+    def extract(self, args: Namespace) -> GroupParams:
+        out = GroupParams()
+        mine = {name for name, _, _ in self.SPEC}
+        for key, value in vars(args).items():
+            if key in mine:
+                setattr(out, key, value)
+        return out
 
 
 class ModelParams(ParamGroup):
-    """arguments/__init__.py:47-71."""
+    """Loading parameters (role of arguments/__init__.py ModelParams)."""
 
-    def __init__(self, parser, sentinel=False):
-        self.sh_degree = 3
-        self._source_path = ""
-        self._model_path = ""
-        self._images = "images"
-        self._depths = ""
-        self._resolution = -1
-        self._white_background = False
-        self.train_test_exp = False
-        self.data_device = "tpu"
-        self.eval = False
-        super().__init__(parser, "Loading Parameters", sentinel)
+    TITLE = "Loading Parameters"
+    SPEC = (
+        ("sh_degree", 3, False),
+        ("source_path", "", True),
+        ("model_path", "", True),
+        ("images", "images", True),
+        ("depths", "", True),
+        ("resolution", -1, True),
+        ("white_background", False, True),
+        ("train_test_exp", False, False),
+        ("data_device", "tpu", False),
+        ("eval", False, False),
+    )
 
-    def extract(self, args):
-        g = super().extract(args)
-        return g
+    def __init__(self, parser: ArgumentParser, sentinel: bool = False):
+        super().__init__(parser, fill_none=sentinel)
 
 
 class PipelineParams(ParamGroup):
-    """arguments/__init__.py:73-80."""
-
-    def __init__(self, parser):
-        self.convert_SHs_python = False
-        self.compute_cov3D_python = False
-        self.debug = False
-        self.antialiasing = False
-        super().__init__(parser, "Pipeline Parameters")
+    TITLE = "Pipeline Parameters"
+    SPEC = (
+        ("convert_SHs_python", False, False),
+        ("compute_cov3D_python", False, False),
+        ("debug", False, False),
+        ("antialiasing", False, False),
+    )
 
 
 class OptimizationParams(ParamGroup):
-    """arguments/__init__.py:82-112."""
+    TITLE = "Optimization Parameters"
+    SPEC = (
+        ("iterations", 30_000, False),
+        ("position_lr_init", 0.00016, False),
+        ("position_lr_final", 0.0000016, False),
+        ("position_lr_delay_mult", 0.01, False),
+        ("position_lr_max_steps", 30_000, False),
+        ("feature_lr", 0.0025, False),
+        ("opacity_lr", 0.025, False),
+        ("scaling_lr", 0.005, False),
+        ("rotation_lr", 0.001, False),
+        ("exposure_lr_init", 0.01, False),
+        ("exposure_lr_final", 0.001, False),
+        ("exposure_lr_delay_steps", 0, False),
+        ("exposure_lr_delay_mult", 0.0, False),
+        ("percent_dense", 0.01, False),
+        ("lambda_dssim", 0.2, False),
+        ("densification_interval", 100, False),
+        ("opacity_reset_interval", 3000, False),
+        ("densify_from_iter", 500, False),
+        ("densify_until_iter", 15_000, False),
+        ("densify_grad_threshold", 0.0002, False),
+        ("depth_l1_weight_init", 1.0, False),
+        ("depth_l1_weight_final", 0.01, False),
+        ("random_background", False, False),
+        ("optimizer_type", "default", False),
+    )
 
-    def __init__(self, parser):
-        self.iterations = 30_000
-        self.position_lr_init = 0.00016
-        self.position_lr_final = 0.0000016
-        self.position_lr_delay_mult = 0.01
-        self.position_lr_max_steps = 30_000
-        self.feature_lr = 0.0025
-        self.opacity_lr = 0.025
-        self.scaling_lr = 0.005
-        self.rotation_lr = 0.001
-        self.exposure_lr_init = 0.01
-        self.exposure_lr_final = 0.001
-        self.exposure_lr_delay_steps = 0
-        self.exposure_lr_delay_mult = 0.0
-        self.percent_dense = 0.01
-        self.lambda_dssim = 0.2
-        self.densification_interval = 100
-        self.opacity_reset_interval = 3000
-        self.densify_from_iter = 500
-        self.densify_until_iter = 15_000
-        self.densify_grad_threshold = 0.0002
-        self.depth_l1_weight_init = 1.0
-        self.depth_l1_weight_final = 0.01
-        self.random_background = False
-        self.optimizer_type = "default"
-        super().__init__(parser, "Optimization Parameters")
+
+def parse_namespace_repr(text: str) -> Namespace:
+    """Parse a ``Namespace(key=literal, ...)`` repr (the upstream cfg_args
+    file format) into a Namespace using ``ast`` — no code execution."""
+    tree = ast.parse(text.strip(), mode="eval")
+    call = tree.body
+    if (not isinstance(call, ast.Call)
+            or not isinstance(call.func, ast.Name)
+            or call.func.id != "Namespace" or call.args):
+        raise ValueError("cfg_args is not a Namespace(...) repr")
+    return Namespace(**{kw.arg: ast.literal_eval(kw.value)
+                        for kw in call.keywords})
 
 
-def get_combined_args(parser: ArgumentParser):
-    """arguments/__init__.py:114-126: merge cfg_args saved in the model dir
-    with the CLI."""
-    import os
-    import sys
-
-    cmdline_string = sys.argv[1:]
-    args_cmdline = parser.parse_args(cmdline_string)
-    cfgfile_string = "Namespace()"
+def get_combined_args(parser: ArgumentParser) -> Namespace:
+    """Merge the ``cfg_args`` file saved in the model dir with the command
+    line; explicitly-passed CLI values win (upstream merge semantics)."""
+    cmdline = parser.parse_args(sys.argv[1:])
+    merged = {}
     try:
-        cfgfilepath = os.path.join(args_cmdline.model_path, "cfg_args")
-        print("Looking for config file in", cfgfilepath)
-        with open(cfgfilepath) as cfg_file:
-            print(f"Config file found: {cfgfilepath}")
-            cfgfile_string = cfg_file.read()
+        path = os.path.join(cmdline.model_path, "cfg_args")
+        print("Looking for config file in", path)
+        with open(path) as f:
+            text = f.read()
+        print(f"Config file found: {path}")
+        merged.update(vars(parse_namespace_repr(text)))
     except (TypeError, FileNotFoundError):
         print("Config file not found at")
-    args_cfgfile = eval(cfgfile_string)  # noqa: S307 (reference behavior)
-
-    merged_dict = vars(args_cfgfile).copy()
-    for k, v in vars(args_cmdline).items():
-        if v is not None:
-            merged_dict[k] = v
-    return Namespace(**merged_dict)
+    merged.update({k: v for k, v in vars(cmdline).items() if v is not None})
+    return Namespace(**merged)

@@ -76,3 +76,33 @@ def test_legacy_arguments_groups():
     assert g2.iterations == 100 and g2.scaling_lr == 0.005
     g3 = pp.extract(args)
     assert g3.antialiasing is False
+
+
+def test_cfg_args_namespace_parsing(tmp_path, monkeypatch):
+    """get_combined_args merges a saved cfg_args Namespace repr with the
+    CLI (upstream semantics), parsed via ast — not eval."""
+    from argparse import ArgumentParser
+
+    from skelsplat_tpu.arguments import (ModelParams, get_combined_args,
+                                         parse_namespace_repr)
+
+    ns = parse_namespace_repr(
+        "Namespace(sh_degree=2, source_path='/data', eval=True)")
+    assert ns.sh_degree == 2 and ns.source_path == "/data" and ns.eval
+
+    with pytest.raises(ValueError):
+        parse_namespace_repr("__import__('os').system('true')")
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    (model_dir / "cfg_args").write_text(
+        "Namespace(source_path='/saved', resolution=4, images='imgs')")
+    parser = ArgumentParser()
+    ModelParams(parser, sentinel=True)
+    monkeypatch.setattr("sys.argv",
+                        ["prog", "--model_path", str(model_dir),
+                         "--resolution", "2"])
+    merged = get_combined_args(parser)
+    assert merged.source_path == "/saved"   # from cfg_args
+    assert merged.resolution == 2           # CLI override wins
+    assert merged.images == "imgs"
