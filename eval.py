@@ -28,8 +28,17 @@ def main(argv=None):
 
     ovr = parse_overrides(args.overrides)
     output_path = ovr.pop("eval.output_path", None)
+    # additive eval extras: eval.image_metrics=true renders each scene's
+    # optimized splats and reports SSIM (+LPIPS when weights are shipped)
+    # against the GT heatmaps — the fused-ssim / lpipsPyTorch surface
+    image_metrics_on = str(ovr.pop("eval.image_metrics", "false")
+                           ).lower() in ("1", "true", "yes")
+    lpips_weights = ovr.pop("eval.lpips_weights", None)
+    lpips_net = ovr.pop("eval.lpips_net", "vgg")
     remaining = [o for o in args.overrides
-                 if not o.startswith("eval.output_path=")]
+                 if not o.split("=", 1)[0] in (
+                     "eval.output_path", "eval.image_metrics",
+                     "eval.lpips_weights", "eval.lpips_net")]
 
     cfg = load_config(args.config_name, remaining,
                       config_dir=args.config_path, make_run_dir=False)
@@ -45,6 +54,22 @@ def main(argv=None):
     evaluate(gt_path, output_path, iterations, dataset.start_scene_id,
              dataset.end_scene_id, dataset.poses_2d == "cpn",
              nviews=dataset.nviews)
+
+    if image_metrics_on:
+        from skelsplat_tpu.data.loader import DataLoader
+        from skelsplat_tpu.evaluation import image_metrics
+
+        loader = DataLoader(
+            dataset.data_root,
+            os.path.join(dataset.data_root, "initial_guess",
+                         dataset.initial_guess),
+            os.path.join(dataset.data_root, "2d_" + dataset.poses_2d),
+            frame_step=dataset.frame_step, start_id=dataset.start_scene_id,
+            end_id=dataset.end_scene_id, nviews=dataset.nviews)
+        image_metrics(loader, output_path,
+                      scaling=float(cfg.model.scaling),
+                      scaling_modifier=float(cfg.model.scaling_modifier),
+                      lpips_net=lpips_net, lpips_weights=lpips_weights)
 
 
 if __name__ == "__main__":

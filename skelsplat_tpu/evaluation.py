@@ -183,3 +183,99 @@ def evaluate(gt_path, output_path, iterations, start_id, end_id, cpn=False,
             print_fn(f"Relative MPJPE:  {np.round(res['relative'], 2)}")
         results[it] = res
     return results
+
+
+def image_metrics(loader, output_path, scaling=3.0, scaling_modifier=1.0,
+                  lpips_net="vgg", lpips_weights=None, print_fn=print):
+    """Image-space eval extras: per-view SSIM (fused-SSIM) and, when
+    pretrained weights are available, LPIPS between each scene's rendered
+    optimized splats and its GT heatmaps.
+
+    The eval counterpart of the reference's fused-ssim / lpipsPyTorch
+    submodules (BASELINE "fused-SSIM + LPIPS losses" extras; neither is
+    wired into the reference's entry points). GT heatmaps follow the
+    training parity rules (initial-covariance spec, train.py:91-92), so
+    SSIM/LPIPS measure how well the optimized splats reproduce the
+    detection-derived targets. For LPIPS the C-channel maps are
+    channel-summed, min-max normalized, replicated to RGB and scaled to
+    [-1, 1] (LPIPS's input convention).
+
+    Returns {"ssim": mean, "lpips": mean | None, "per_scene": {...}}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from skelsplat_tpu.data import cameras_io
+    from skelsplat_tpu.engine.trainer import init_params_jnp
+    from skelsplat_tpu.core.gaussians import GaussianParams, scene_type_of
+    from skelsplat_tpu.ops import heatmaps as hm_ops
+    from skelsplat_tpu.ops import lpips as lpips_ops
+    from skelsplat_tpu.ops import rasterizer
+    from skelsplat_tpu.ops.ssim import fused_ssim
+    from skelsplat_tpu.tools.analyze_confidence import _scene_plys
+
+    plys = _scene_plys(output_path)
+    if lpips_weights is None:
+        lpips_weights = lpips_ops.default_weights_path(lpips_net)
+    lpips_model = (lpips_ops.LPIPS.from_npz(lpips_weights)
+                   if lpips_weights else None)
+    if lpips_model is None:
+        print_fn("LPIPS weights not available "
+                 "(tools/fetch_lpips_weights.py) — reporting SSIM only")
+
+    scene_type = scene_type_of(loader.data_root)
+    per_scene, ssims, lpipss = {}, [], []
+    for _, rec in loader:
+        path = plys.get(rec.scene_name)
+        if path is None:
+            continue
+        g = ply.read_gaussian_ply(path)
+        params = GaussianParams(
+            jnp.asarray(g["xyz"], jnp.float32),
+            jnp.asarray(g["log_scales"], jnp.float32),
+            jnp.asarray(g["quats"], jnp.float32),
+            jnp.asarray(g["opacity_logit"], jnp.float32))
+        cams = cameras_io.build_camera_batch(rec.cameras)
+        W = int(np.asarray(cams.width).max())
+        H = int(np.asarray(cams.height).max())
+        camsj = jax.tree.map(jnp.asarray, cams)
+
+        # GT heatmaps from the INITIAL covariance (train.py:91-92 parity)
+        p0 = init_params_jnp(jnp.asarray(rec.pose_3d, jnp.float32),
+                             scene_type, scaling, scaling_modifier)
+        spec = hm_ops.heatmap_spec(
+            p0.xyz, p0.covariance(),
+            jnp.asarray(np.asarray(rec.poses_2d, np.float32)[..., :2]),
+            camsj, W, H)
+        gt_hm = hm_ops.eval_heatmaps(spec, W, H)          # (V,C,H,W)
+
+        def render_view(cam):
+            return rasterizer.render(params, cam, W, H)["render"]
+        renders = jax.vmap(render_view)(camsj)            # (V,C,H,W)
+
+        s = float(np.mean([float(fused_ssim(renders[v], gt_hm[v]))
+                           for v in range(renders.shape[0])]))
+        entry = {"ssim": s}
+        ssims.append(s)
+        if lpips_model is not None:
+            def to_rgb(x):                                # (C,H,W)→(3,H,W)
+                im = jnp.sum(x, axis=0)
+                lo, hi = jnp.min(im), jnp.max(im)
+                im = (im - lo) / jnp.where(hi > lo, hi - lo, 1.0)
+                return jnp.broadcast_to(im[None], (3,) + im.shape) * 2 - 1
+            a = jnp.stack([to_rgb(renders[v])
+                           for v in range(renders.shape[0])])
+            b = jnp.stack([to_rgb(gt_hm[v])
+                           for v in range(gt_hm.shape[0])])
+            d = float(jnp.mean(lpips_model(a, b)))
+            entry["lpips"] = d
+            lpipss.append(d)
+        per_scene[rec.scene_name] = entry
+
+    out = {"ssim": float(np.mean(ssims)) if ssims else float("nan"),
+           "lpips": float(np.mean(lpipss)) if lpipss else None,
+           "per_scene": per_scene}
+    print_fn(f"SSIM (render vs GT heatmaps): {out['ssim']:.4f}")
+    if out["lpips"] is not None:
+        print_fn(f"LPIPS ({lpips_net}): {out['lpips']:.4f}")
+    return out

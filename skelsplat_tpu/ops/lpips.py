@@ -221,13 +221,25 @@ def random_weights(net_type: str = "vgg", seed: int = 0) -> dict:
     return {"conv_w": conv_w, "conv_b": conv_b, "lin_w": lin_w}
 
 
+def default_weights_path(net_type: str = "vgg") -> str | None:
+    """Path of a committed weight npz (ops/lpips_weights/{net}.npz, produced
+    by tools/fetch_lpips_weights.py on a networked machine), or None."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "lpips_weights",
+                        f"{net_type}.npz")
+    return path if os.path.exists(path) else None
+
+
 def lpips(x, y, net_type: str = "vgg", version: str = "0.1",
           weights_path: str | None = None):
     """Drop-in for lpipsPyTorch.lpips (lpipsPyTorch/__init__.py)."""
     if weights_path is None:
+        weights_path = default_weights_path(net_type)
+    if weights_path is None:
         raise RuntimeError(
-            "LPIPS needs pretrained weights; export them with "
-            "LPIPS.export_torch_weights(...) on a machine with network "
-            "access and pass weights_path=")
+            "LPIPS needs pretrained weights; run "
+            "python -m skelsplat_tpu.tools.fetch_lpips_weights on a "
+            "machine with network access, commit the npzs under "
+            "skelsplat_tpu/ops/lpips_weights/, or pass weights_path=")
     model = LPIPS.from_npz(weights_path)
     return model(x, y)

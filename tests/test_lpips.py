@@ -9,6 +9,7 @@ for all three backbones. With exported real weights the same code paths
 produce the reference's perceptual distances.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,3 +107,64 @@ def test_lpips_npz_roundtrip(tmp_path):
     x = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
     d = np.asarray(model(x, x))
     np.testing.assert_allclose(d, 0.0, atol=1e-7)
+
+
+def test_fetch_script_state_dict_conversion(tmp_path):
+    """tools/fetch_lpips_weights.convert_state_dicts: fabricate state dicts
+    in the torchvision/richzhang layouts (no torch needed), convert, load
+    with LPIPS.from_npz and run a forward — validates the whole offline
+    conversion path short of the actual download."""
+    import numpy as np
+
+    from skelsplat_tpu.tools.fetch_lpips_weights import convert_state_dicts
+
+    rng = np.random.default_rng(7)
+    for net_type, conv_keys in [
+        ("alex", [f"features.{i}" for i in (0, 3, 6, 8, 10)]),
+        ("vgg", [f"features.{i}"
+                 for i in (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)]),
+    ]:
+        shapes = L._conv_shapes(net_type)
+        assert len(shapes) == len(conv_keys)
+        backbone = {}
+        for key, shape in zip(conv_keys, shapes):
+            backbone[f"{key}.weight"] = rng.normal(
+                0, 0.05, shape).astype(np.float32)
+            backbone[f"{key}.bias"] = rng.normal(
+                0, 0.05, shape[0]).astype(np.float32)
+        backbone["classifier.0.weight"] = rng.normal(0, 1, (10, 10))
+        lin = {f"lin{i}.model.1.weight":
+               rng.uniform(0, 0.1, (1, c, 1, 1)).astype(np.float32)
+               for i, c in enumerate(L.BACKBONES[net_type]["n_channels"])}
+
+        arrays = convert_state_dicts(backbone, lin, net_type)
+        path = str(tmp_path / f"{net_type}.npz")
+        np.savez(path, **arrays)
+        model = L.LPIPS.from_npz(path)
+        assert model.net_type == net_type
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 3, 64, 64)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-1, 1, (1, 3, 64, 64)), jnp.float32)
+        d = model(x, y)
+        assert d.shape == (1,) and np.isfinite(float(d[0]))
+        assert float(model(x, x)[0]) == pytest.approx(0.0, abs=1e-6)
+
+    # shape errors must be caught, not silently written
+    bad = dict(backbone)
+    bad["features.0.weight"] = rng.normal(0, 1, (7, 3, 3, 3)).astype(
+        np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        convert_state_dicts(bad, lin, "vgg")
+
+
+def test_default_weights_path_lookup(tmp_path, monkeypatch):
+    import os
+
+    import skelsplat_tpu.ops.lpips as lpips_mod
+
+    assert lpips_mod.default_weights_path("vgg") is None or \
+        os.path.exists(lpips_mod.default_weights_path("vgg"))
+    # lpips() without weights raises with the fetch-script hint
+    if lpips_mod.default_weights_path("vgg") is None:
+        with pytest.raises(RuntimeError, match="fetch_lpips_weights"):
+            lpips_mod.lpips(jnp.zeros((1, 3, 16, 16)),
+                            jnp.zeros((1, 3, 16, 16)))
