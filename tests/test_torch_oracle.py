@@ -570,3 +570,47 @@ def test_confidence_analysis_matches_reference_script(tmp_path):
         for k in (1, 2, 3):
             assert got_pj[name][k] == pytest.approx(want_pj[name][k],
                                                     abs=1e-12)
+
+
+# --------------------------------------------------------------------------
+# image metrics (utils/image_utils.py) and SH (utils/sh_utils.py)
+# --------------------------------------------------------------------------
+
+def test_image_metrics_match_torch_reference():
+    from skelsplat_tpu.ops import image_metrics as im
+    iu = _ref_module("image_utils")
+    rng = np.random.default_rng(29)
+    a = rng.uniform(0, 1, (2, 3, 16, 20)).astype(np.float32)
+    b = rng.uniform(0, 1, (2, 3, 16, 20)).astype(np.float32)
+    want_mse = iu.mse(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    want_psnr = iu.psnr(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(np.asarray(im.mse(jnp.asarray(a),
+                                                 jnp.asarray(b))),
+                               want_mse, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(im.psnr(jnp.asarray(a),
+                                                  jnp.asarray(b))),
+                               want_psnr, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("deg", [0, 1, 2, 3])
+def test_eval_sh_matches_torch_reference(deg):
+    from skelsplat_tpu.ops import sh as sh_ops
+    su = _ref_module("sh_utils")
+    rng = np.random.default_rng(31)
+    n = 11
+    coeffs = rng.normal(0, 1, (n, 3, (deg + 1) ** 2)).astype(np.float32)
+    dirs = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    want = su.eval_sh(deg, torch.from_numpy(coeffs),
+                      torch.from_numpy(dirs)).numpy()
+    got = np.asarray(sh_ops.eval_sh(deg, jnp.asarray(coeffs),
+                                    jnp.asarray(dirs)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sh_ops.RGB2SH(jnp.asarray(rgb))),
+        su.RGB2SH(torch.from_numpy(rgb)).numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sh_ops.SH2RGB(jnp.asarray(rgb))),
+        su.SH2RGB(torch.from_numpy(rgb)).numpy(), rtol=1e-6)
