@@ -45,7 +45,8 @@ from skelsplat_tpu.ops import rasterizer
 from skelsplat_tpu.ops.fused import fused_view_loss_available, make_fused_view_loss
 from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
                                              pallas_view_profiles,
-                                             pallas_window_bounds)
+                                             pallas_view_bbox,
+                                             window_bounds_from_bbox)
 
 REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
 
@@ -136,11 +137,18 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
         # (what the next scene's OptEarlyStopping window sees, train.py:64)
         hist8 = jnp.where(stopped, hist8, hist8_new)
         if general:
-            # sequential writes so duplicate visits and the offset cutoff
-            # both resolve exactly as the loop does
-            for j in range(V_accum):
-                acc_gx = acc_gx.at[idxs[j]].set(jnp.where(
-                    j < m_star, grads_v.xyz[j], acc_gx[idxs[j]]))
+            # the reference's sequential writes (duplicate visits: LAST
+            # fresh one wins; offsets ≥ m_star keep the stale row) as one
+            # gather: for each view row, the highest visit offset j < m_star
+            # with idxs[j] == row (scales to large accumulation windows
+            # where a python loop of .at[].set would bloat the HLO)
+            nv = acc_gx.shape[0]
+            visits = ((idxs[:, None] == jnp.arange(nv)[None, :])
+                      & (jnp.arange(V_accum)[:, None] < m_star))
+            j_last = jnp.max(jnp.where(
+                visits, jnp.arange(V_accum)[:, None], -1), axis=0)
+            acc_gx = jnp.where((j_last >= 0)[:, None, None],
+                               grads_v.xyz[jnp.maximum(j_last, 0)], acc_gx)
         else:
             row_new = (jnp.arange(V_accum)[:, None, None] < m_star)
             acc_gx = jnp.where(row_new, grads_v.xyz, acc_gx)
@@ -328,19 +336,43 @@ class SceneTrainer:
         if spec == "off":
             return None
         if spec == "auto":
-            # tightest first; the wide tier matches Panoptic-scale frames
-            # (measured union bboxes: rows ≤ ~650, cols ≤ ~810 + alignment)
-            sizes = [(512, 512), (768, 1024)]
+            # (win_h, win_w, slot_w) tiers, tightest first — slot_w is the
+            # per-slot column-slice width (kernel slot slicing; None =
+            # full-width slots). Sized from measured union bboxes / slot
+            # spans of the three dataset scales: H36M bodies ≤ ~384×640
+            # with slot spans ≤ ~200, OP ≤ ~512×640, Panoptic ≤ ~768×1024
+            # with slot spans ≤ ~280.
+            # Keep the cascade SHALLOW: measured live, per-tier fit math +
+            # a deeper switch cost more than tighter windows saved (a
+            # forced single tier beat a 6-tier cascade on its own frames).
+            # Tier 0 covers H36M/OP-scale bodies (≤ ~500×640, slot spans
+            # ≤ ~256); tiers 1-2 the Panoptic scale (some frames need >800
+            # rows — without tier 2 they fell to the full frame at ~5x
+            # cost); tier 3 is the unsliced safety net for macro steps
+            # whose slot spans outgrow slot_w before the full-frame
+            # fallback.
+            sizes = [(512, 640, 256), (768, 1024, 384),
+                     (928, 1152, 384), (928, 1152, None)]
         else:
-            sizes = [tuple(int(s) for s in item.lower().split("x"))
-                     for item in spec.split(",")]
+            sizes = []
+            for item in spec.split(","):
+                parts = [int(x) for x in item.lower().split("x")]
+                sizes.append(tuple(parts) if len(parts) == 3
+                             else (parts[0], parts[1], None))
         wins = []
-        for wh, ww in sizes:
+        for wh, ww, *rest in sizes:
+            sw = rest[0] if rest else None
             wh = min(-(-wh // ROWS) * ROWS, H_pad)
             ww = min(-(-ww // LANES) * LANES, W_pad)
-            if (wh, ww) != (H_pad, W_pad) and (wh, ww) not in wins:
-                wins.append((wh, ww))
-        wins.sort(key=lambda s: s[0] * s[1])
+            if sw is not None:
+                sw = min(-(-sw // LANES) * LANES, ww)
+                if sw >= ww:
+                    sw = None
+            if (wh, ww) == (H_pad, W_pad) and sw is None:
+                continue
+            if (wh, ww, sw) not in wins:
+                wins.append((wh, ww, sw))
+        wins.sort(key=lambda s: (s[0] * s[1], s[2] or s[1]))
         return wins or None
 
     # ------------------------------------------------------------------
@@ -456,22 +488,34 @@ class SceneTrainer:
                     if not win_shapes:
                         return full_call(None)
 
+                    # ONE bbox per (view, macro); per-tier snap is pure
+                    # arithmetic (re-running the preprocess per tier made
+                    # cascade depth cost real time)
+                    bbox = vmap_views(
+                        lambda p_, cam, aux, p2: pallas_view_bbox(
+                            p_, cam, aux[0], self.W, self.H,
+                            self.antialiasing, profiles=aux[1]))(
+                        p, cams_k, aux_k, p2_k)
                     offs_t, fit_t = [], []
-                    for wh, ww in win_shapes:
-                        offs, fits = vmap_views(
-                            lambda p_, cam, aux, p2: pallas_window_bounds(
-                                p_, cam, aux[0], self.W, self.H, wh, ww,
-                                self.antialiasing, profiles=aux[1]))(
-                            p, cams_k, aux_k, p2_k)
-                        offs_t.append(offs)
-                        fit_t.append(jnp.all(fits))
+                    for wh, ww, sw in win_shapes:
+                        offs, fits = jax.vmap(
+                            lambda bb, wh=wh, ww=ww: window_bounds_from_bbox(
+                                bb, self.W, self.H, wh, ww))(
+                            bbox.reshape(-1, bbox.shape[-1]))
+                        fit = jnp.all(fits)
+                        if sw is not None:
+                            fit &= jnp.all(bbox[..., 4] <= sw)
+                        offs_t.append(offs.reshape(bbox.shape[:-1] + (2,)))
+                        fit_t.append(fit)
 
                     def win_call(t):
                         def call(_):
                             f = jax.value_and_grad(
                                 lambda p_, cam, aux, p2, off: pal(
                                     p_, cam, aux[0], p2, profiles=aux[1],
-                                    window=off, win_shape=win_shapes[t]))
+                                    window=off,
+                                    win_shape=win_shapes[t][:2],
+                                    slot_w=win_shapes[t][2]))
                             return vmap_views(f, extra_axes=(0,))(
                                 p, cams_k, aux_k, p2_k, offs_t[t])
                         return call

@@ -58,11 +58,11 @@ LANES = 128        # last-dim padding quantum
 
 # gauss pack layout (N, 16): [pix_x, pix_y, conic_a, conic_b, conic_c, opa,
 #   rect_min_x, rect_min_y, rect_max_x, rect_max_y, B, width, height,
-#   gt_row_lo, gt_row_hi, 0]
+#   gt_row_lo, gt_row_hi, col_slice_start]
 PACK = 16
 IDX_PX, IDX_PY, IDX_CA, IDX_CB, IDX_CC, IDX_OPA = 0, 1, 2, 3, 4, 5
 IDX_RX0, IDX_RY0, IDX_RX1, IDX_RY1, IDX_B, IDX_W, IDX_H = 6, 7, 8, 9, 10, 11, 12
-IDX_GY0, IDX_GY1 = 13, 14
+IDX_GY0, IDX_GY1, IDX_C0 = 13, 14, 15
 
 
 def _interpret_default():
@@ -120,8 +120,21 @@ def _derr(d, l1: bool):
     return jnp.sign(d) if l1 else 2.0 * d
 
 
-def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
-                T_ref, done_ref):
+def _slot_cols(g_ref, i, slot_w, w_pad):
+    """Column slice of slot i: a ``pl.ds`` of the 128-aligned per-slot
+    window (pack IDX_C0, computed host-side to cover the slot's render ∪ GT
+    column support) when slot slicing is on, else the full width. All of a
+    slot's nonzero work lives inside its slice, so restricting every
+    vector op to it is exact — it just skips columns that would contribute
+    identical zeros."""
+    if slot_w is None or slot_w >= w_pad:
+        return slice(None), jnp.float32(0.0), w_pad
+    c0 = pl.multiple_of(g_ref[i, IDX_C0].astype(jnp.int32), LANES)
+    return pl.ds(c0, slot_w), g_ref[i, IDX_C0], slot_w
+
+
+def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
+                out_ref, T_ref, done_ref):
     """g_ref: SMEM (n, PACK); p1_ref: VMEM (ROWS, 128) lane-per-slot rows
     block; p2_ref: VMEM (n, W_pad); offs_ref: SMEM (1, 2) window origin
     (row, col) in absolute pixels (zeros when unwindowed); out_ref:
@@ -132,12 +145,14 @@ def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
     skipped exactly; if its GT support also misses, the slot contributes
     nothing at all. This exploits the extreme sparsity of skeleton splats
     (each Gaussian touches a handful of the ROWS-tall bands).
+
+    ``slot_w``: optional static per-slot column-slice width — every vector
+    op for slot i runs over its (ROWS, slot_w) column window instead of the
+    full (ROWS, w_pad) block (the dominant cost at Panoptic widths; splats
+    are ~100-300 px wide against 1024+ px windows).
     """
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
     y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
-    ys, xs, tile_x, tile_y = _block_geometry(y0f, rows, w_pad,
-                                             offs_ref[0, 1])
-    in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
 
     # TPU grid programs run sequentially: the shared SMEM output block is
     # zeroed by the first program and accumulated by all of them.
@@ -154,11 +169,15 @@ def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
     done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
+        cols, c0f, cw = _slot_cols(g_ref, i, slot_w, w_pad)
 
         @pl.when(rend_ov)
-        def _(i=i):
-            T = T_ref[:]
-            done = done_ref[:] > 0.0
+        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+            ys, xs, tile_x, tile_y = _block_geometry(
+                y0f, rows, cw, offs_ref[0, 1] + c0f)
+            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+            T = T_ref[:, cols]
+            done = done_ref[:, cols] > 0.0
             alpha, gate, _, _, _, _ = _slot_alpha(g_ref, i, ys, xs,
                                                   tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
@@ -166,25 +185,28 @@ def _fwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
             live = gate & (test >= geometry.T_MIN) & (~done)
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
             done2 = done | (gate & (test < geometry.T_MIN) & (~done))
-            done_ref[:] = done2.astype(jnp.float32)
-            T_ref[:] = jnp.where(live, test, T)
+            done_ref[:, cols] = done2.astype(jnp.float32)
+            T_ref[:, cols] = jnp.where(live, test, T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i):
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+            ys, xs, _, _ = _block_geometry(y0f, rows, cw,
+                                           offs_ref[0, 1] + c0f)
+            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
-def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
-                dg_ref, T_ref, done_ref, al_ref, Ti_ref, sfx_ref):
+def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
+                out_ref, dg_ref, T_ref, done_ref, al_ref, Ti_ref, sfx_ref):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
@@ -196,12 +218,14 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
     gradient partials (backward.cu:452-638's α-chain adjoint). Skipped
     slots store zeros, so the suffix passes through them untouched. One
     kernel per grad step replaces the fwd+bwd pair (the value_and_grad
-    path never runs _fwd_kernel at all)."""
+    path never runs _fwd_kernel at all).
+
+    With ``slot_w`` set, every per-slot vector op (both passes, including
+    the α/T stacks, sized (n, ROWS, slot_w)) runs over the slot's column
+    slice; the T/done/suffix chains stay full-width so cross-slot coupling
+    at shared pixels is preserved exactly."""
     rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
     y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
-    ys, xs, tile_x, tile_y = _block_geometry(y0f, rows, w_pad,
-                                             offs_ref[0, 1])
-    in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -212,18 +236,22 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
 
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
-    zeros = jnp.zeros((rows, w_pad), jnp.float32)
     rends = []
+    slot_cols = [_slot_cols(g_ref, i, slot_w, w_pad) for i in range(n)]
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
         rends.append(rend_ov)
-        al_ref[i] = zeros
-        Ti_ref[i] = zeros
+        cols, c0f, cw = slot_cols[i]
+        al_ref[i] = jnp.zeros((rows, cw), jnp.float32)
+        Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
 
         @pl.when(rend_ov)
-        def _(i=i):
-            T = T_ref[:]
-            done = done_ref[:] > 0.0
+        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+            ys, xs, tile_x, tile_y = _block_geometry(
+                y0f, rows, cw, offs_ref[0, 1] + c0f)
+            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+            T = T_ref[:, cols]
+            done = done_ref[:, cols] > 0.0
             alpha, gate, E, dx, dy, power = _slot_alpha(
                 g_ref, i, ys, xs, tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
@@ -231,7 +259,7 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
             live = gate & (test >= geometry.T_MIN) & (~done)
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
@@ -239,13 +267,16 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
             # live-masked α: pass 2 recovers live = (stored α > 0)
             al_ref[i] = jnp.where(live, a_i, 0.0)
             Ti_ref[i] = T
-            done_ref[:] = (done | (gate & (test < geometry.T_MIN)
-                                   & (~done))).astype(jnp.float32)
-            T_ref[:] = jnp.where(live, test, T)
+            done_ref[:, cols] = (done | (gate & (test < geometry.T_MIN)
+                                         & (~done))).astype(jnp.float32)
+            T_ref[:, cols] = jnp.where(live, test, T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i):
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+            ys, xs, _, _ = _block_geometry(y0f, rows, cw,
+                                           offs_ref[0, 1] + c0f)
+            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
@@ -253,18 +284,23 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
     # pass 2 (reverse): suffix in scratch; gradients only for band slots
     sfx_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n - 1, -1, -1):
+        cols, c0f, cw = slot_cols[i]
+
         @pl.when(rends[i])
-        def _(i=i):
+        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+            ys, xs, tile_x, tile_y = _block_geometry(
+                y0f, rows, cw, offs_ref[0, 1] + c0f)
+            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
             a_i = al_ref[i]
             live = a_i > 0.0
             T_i = Ti_ref[i]
             # recompute ∂S/∂contrib from the stacks: contrib = α·T exactly
             # (α is live-masked, so r and mask match pass 1 bit-for-bit)
             r = jnp.clip(a_i * T_i, 0.0, 1.0)
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, :] + g_ref[i, IDX_B]
+            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
-            suffix = sfx_ref[:]
+            suffix = sfx_ref[:, cols]
             dalpha = jnp.where(
                 live, T_i * ghat - suffix / (1.0 - a_i), 0.0)
             # recompute E, dx, dy (cheaper than storing them)
@@ -287,15 +323,15 @@ def _bwd_kernel(n: int, l1: bool, g_ref, p1_ref, p2_ref, offs_ref, out_ref,
             dg_ref[0, base + IDX_CB] += jnp.sum(dpower * (-dx * dy))
             dg_ref[0, base + IDX_CC] += jnp.sum(dpower * (-0.5 * dy * dy))
             dg_ref[0, base + IDX_OPA] += jnp.sum(dalpha * E)
-            sfx_ref[:] = suffix + a_i * T_i * ghat
+            sfx_ref[:, cols] = suffix + a_i * T_i * ghat
 
 
-def _run_fwd(gauss, p1, p2, offs, l1, interpret):
+def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
     n = gauss.shape[0]
     n_prog = p1.shape[0] // ROWS
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n, l1),
+        functools.partial(_fwd_kernel, n, l1, slot_w),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -319,12 +355,14 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret):
     return out[0, 0], out[0, 1]
 
 
-def _run_bwd(gauss, p1, p2, offs, l1, interpret):
+def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
     """Combined forward+backward pass: returns (S, C, dg)."""
     n = gauss.shape[0]
     n_prog = p1.shape[0] // ROWS
+    stack_w = p2.shape[1] if (slot_w is None or slot_w >= p2.shape[1]) \
+        else slot_w
     out, dg = pl.pallas_call(
-        functools.partial(_bwd_kernel, n, l1),
+        functools.partial(_bwd_kernel, n, l1, slot_w),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -349,8 +387,8 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret):
         scratch_shapes=[
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # T
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # done mask
-            pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # live-α stack
-            pltpu.VMEM((n, ROWS, p2.shape[1]), jnp.float32),   # T stack
+            pltpu.VMEM((n, ROWS, stack_w), jnp.float32),       # live-α stack
+            pltpu.VMEM((n, ROWS, stack_w), jnp.float32),       # T stack
             pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # suffix
         ],
         interpret=interpret,
@@ -358,20 +396,20 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret):
     return out[0, 0], out[0, 1], dg.reshape(n, PACK)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _pallas_S_C(gauss, p1, p2, offs, l1, interpret):
-    return _run_fwd(gauss, p1, p2, offs, l1, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _pallas_S_C(gauss, p1, p2, offs, l1, interpret, slot_w=None):
+    return _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w)
 
 
-def _pallas_fwd(gauss, p1, p2, offs, l1, interpret):
+def _pallas_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
     # under value_and_grad the COMBINED kernel produces the loss and the
     # screen-space gradients in one launch — the forward-only kernel never
     # runs on the grad path (the adjoint is the cotangent scale below)
-    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret)
+    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w)
     return (S, C), (dg, p1, p2, offs)
 
 
-def _pallas_bwd(l1, interpret, res, cot):
+def _pallas_bwd(l1, interpret, slot_w, res, cot):
     dg, p1, p2, offs = res
     gS, _ = cot
     return (dg * gS, jnp.zeros_like(p1), jnp.zeros_like(p2),
@@ -440,22 +478,20 @@ def pallas_view_profiles(spec_v, W: int, H: int):
 PALLAS_LOSSES = ("l2_gaussian", "l1_gaussian", "l1_masked")
 
 
-def pallas_window_bounds(params, cam, spec_v, W: int, H: int,
-                         win_h: int, win_w: int,
-                         antialiasing: bool = False, profiles=None):
-    """Union bbox of (splat rects ∪ GT supports) for one view, snapped to a
-    (win_h, win_w) window: returns (offs (2,) f32 [row, col], fits bool).
-    Non-differentiable (stop_gradient) — call OUTSIDE value_and_grad, once
-    per macro step, and cond on all-views-fit (a vmapped cond would execute
-    both branches)."""
+def pallas_view_bbox(params, cam, spec_v, W: int, H: int,
+                     antialiasing: bool = False, profiles=None):
+    """Union bbox of (splat rects ∪ GT supports) for one view: (5,) f32
+    [lo_y, hi_y, lo_x, hi_x, slot_col_need]. Tier-independent — compute
+    ONCE per (view, macro step) and snap to each cascade tier with
+    ``window_bounds_from_bbox`` (pure arithmetic), instead of re-running
+    the N-sized preprocess per tier. Non-differentiable (stop_gradient) —
+    call OUTSIDE value_and_grad."""
     pp = rasterizer.preprocess_gaussians(
         params.xyz, params.covariance(), params.opacity, cam, W, H,
         antialiasing)
     if profiles is None:
         profiles = pallas_view_profiles(spec_v, W, H)
     spans = profiles[3]
-    H_pad = -(-H // ROWS) * ROWS
-    W_pad = -(-W // LANES) * LANES
 
     ry0 = pp.rect_min[:, 1].astype(jnp.float32) * geometry.BLOCK_Y
     ry1 = pp.rect_max[:, 1].astype(jnp.float32) * geometry.BLOCK_Y
@@ -472,7 +508,28 @@ def pallas_window_bounds(params, cam, spec_v, W: int, H: int,
                        jnp.min(jnp.where(act_g, spans[:, 2], big)))
     hi_x = jnp.maximum(jnp.max(jnp.where(act_r, rx1, -big)),
                        jnp.max(jnp.where(act_g, spans[:, 3], -big)))
+    # per-slot column-slice requirement (5th element): the widest
+    # 128-aligned (render ∪ GT) column span over the active slots — a tier
+    # with slot_w ≥ this runs every slot's vector ops on a (ROWS, slot_w)
+    # slice (kernel slot slicing, _slot_cols)
+    lo_s = jnp.minimum(jnp.where(act_r, rx0, big),
+                       jnp.where(act_g, spans[:, 2], big))
+    hi_s = jnp.maximum(jnp.where(act_r, rx1, -big),
+                       jnp.where(act_g, spans[:, 3], -big))
+    act = act_r | act_g
+    need = jnp.where(act, hi_s - jnp.floor(lo_s / LANES) * LANES, 0.0)
+    slot_need = jnp.max(need)
+    return jax.lax.stop_gradient(
+        jnp.stack([lo_y, hi_y, lo_x, hi_x, slot_need]))
 
+
+def window_bounds_from_bbox(bbox, W: int, H: int, win_h: int, win_w: int):
+    """Snap a ``pallas_view_bbox`` to a (win_h, win_w) window: returns
+    (offs (2,) f32 [row, col], fits bool). Pure arithmetic — evaluate for
+    every cascade tier from one bbox."""
+    H_pad = -(-H // ROWS) * ROWS
+    W_pad = -(-W // LANES) * LANES
+    lo_y, hi_y, lo_x, hi_x = bbox[0], bbox[1], bbox[2], bbox[3]
     row_off = jnp.clip(jnp.floor(lo_y / ROWS) * ROWS, 0.0,
                        float(H_pad - win_h))
     col_off = jnp.clip(jnp.floor(lo_x / LANES) * LANES, 0.0,
@@ -480,7 +537,17 @@ def pallas_window_bounds(params, cam, spec_v, W: int, H: int,
     fits = ((lo_y >= row_off) & (hi_y <= row_off + win_h)
             & (lo_x >= col_off) & (hi_x <= col_off + win_w))
     offs = jnp.stack([row_off, col_off]).astype(jnp.float32)
-    return jax.lax.stop_gradient(offs), jax.lax.stop_gradient(fits)
+    return offs, fits
+
+
+def pallas_window_bounds(params, cam, spec_v, W: int, H: int,
+                         win_h: int, win_w: int,
+                         antialiasing: bool = False, profiles=None):
+    """Single-tier convenience wrapper: bbox + snap in one call (the
+    cascade callers compute the bbox once and snap per tier instead)."""
+    bbox = pallas_view_bbox(params, cam, spec_v, W, H, antialiasing,
+                            profiles)
+    return window_bounds_from_bbox(bbox, W, H, win_h, win_w)
 
 
 def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
@@ -488,7 +555,7 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
                            interpret: bool | None = None,
                            profiles=None,
                            loss_function: str = "l2_gaussian",
-                           window=None, win_shape=None):
+                           window=None, win_shape=None, slot_w=None):
     """Masked heatmap view loss — Pallas-fused twin of fused.fused_view_loss
     for every loss in PALLAS_LOSSES (loss_utils.py:86-118).
 
@@ -500,6 +567,12 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     on the (win_h, win_w) crop only — exact whenever the window covers the
     union bbox (the caller conds on ``fits``); pixel/tile coordinates stay
     absolute, so values match the full kernel to reduction-order ULPs.
+
+    ``slot_w``: optional static per-slot column-slice width (multiple of
+    128, requires ``window``): every slot's vector work runs on its own
+    (ROWS, slot_w) column window — exact whenever slot_w covers every
+    slot's 128-aligned (render ∪ GT) column span (the caller conds on
+    ``pallas_view_bbox``'s 5th element).
     """
     if loss_function not in PALLAS_LOSSES:
         raise ValueError(f"pallas kernel does not implement {loss_function!r}")
@@ -550,17 +623,41 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
             # would silently drop its last partial band
             raise ValueError(f"win_shape {win_shape} must be multiples of "
                              f"(ROWS={ROWS}, LANES={LANES})")
+        if slot_w is not None and (slot_w % LANES or slot_w <= 0):
+            raise ValueError(f"slot_w {slot_w} must be a positive multiple "
+                             f"of LANES={LANES}")
         r_off = window[0].astype(jnp.int32)
         c_off = window[1].astype(jnp.int32)
         p1_s = jax.lax.dynamic_slice(p1_s, (r_off, 0), (win_h, LANES))
         p2_s = jax.lax.dynamic_slice(
             p2_s, (jnp.int32(0), c_off), (n, win_w))
         offs = window.reshape(1, 2)
+        if slot_w is not None and slot_w < win_w:
+            # per-slot 128-aligned column-slice starts, relative to the
+            # window: cover each slot's (render ∪ GT) column union. Clip
+            # keeps the slice inside the window; the covered-span proof is
+            # in the trainer's fits test (bbox[4] <= slot_w).
+            big = jnp.float32(1e9)
+            rx0 = gauss_s[:, IDX_RX0] * geometry.BLOCK_X
+            rx1 = gauss_s[:, IDX_RX1] * geometry.BLOCK_X
+            gx0, gx1 = spans[order, 2], spans[order, 3]
+            act_r = rx1 > rx0
+            act_g = gx1 > gx0
+            lo = jnp.minimum(jnp.where(act_r, rx0, big),
+                             jnp.where(act_g, gx0, big))
+            c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
+                          0.0, float(win_w - slot_w))
+            c0 = jnp.where(act_r | act_g, c0, 0.0)
+            gauss_s = gauss_s.at[:, IDX_C0].set(
+                jax.lax.stop_gradient(c0))
+        else:
+            slot_w = None
     else:
         offs = jnp.zeros((1, 2), jnp.float32)
+        slot_w = None
 
     S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs,
-                       loss_function != "l2_gaussian", interpret)
+                       loss_function != "l2_gaussian", interpret, slot_w)
     return S / jnp.maximum(C, 1.0)
 
 
@@ -574,12 +671,13 @@ def make_pallas_view_loss(model, settings, W: int, H: int,
     cons_fn = loss_registry.consistency_losses[settings.consistency_loss]
 
     def view_loss(params, cam, spec_v, pose_2d_v, profiles=None,
-                  window=None, win_shape=None):
+                  window=None, win_shape=None, slot_w=None):
         main = fused_view_loss_pallas(params, cam, spec_v, W, H,
                                       antialiasing, interpret,
                                       profiles=profiles,
                                       loss_function=settings.loss_function,
-                                      window=window, win_shape=win_shape)
+                                      window=window, win_shape=win_shape,
+                                      slot_w=slot_w)
         cons = cons_fn(params.xyz, model.scene_type, reduction="mean")
         return main + cons * settings.lambda_consistency
 

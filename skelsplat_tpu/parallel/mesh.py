@@ -167,24 +167,32 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                 params_blk, cams, view_aux, poses_2d)
 
         if win_shapes:
-            from skelsplat_tpu.ops.pallas_raster import pallas_window_bounds
+            from skelsplat_tpu.ops.pallas_raster import (
+                pallas_view_bbox, window_bounds_from_bbox)
+            # ONE bbox per (scene, view); per-tier snap is arithmetic
+            bbox = vv(lambda p, cam, aux, p2: pallas_view_bbox(
+                p, cam, aux[0], W, H, trainer.antialiasing,
+                profiles=aux[1]))(params_blk, cams, view_aux, poses_2d)
             offs_t, fit_t = [], []
-            for wh, ww in win_shapes:
-                offs, fits = vv(
-                    lambda p, cam, aux, p2, wh=wh, ww=ww:
-                    pallas_window_bounds(p, cam, aux[0], W, H, wh, ww,
-                                         trainer.antialiasing,
-                                         profiles=aux[1]))(
-                    params_blk, cams, view_aux, poses_2d)
-                offs_t.append(offs)
-                fit_t.append(jnp.all(fits))
+            for wh, ww, sw in win_shapes:
+                offs, fits = jax.vmap(
+                    lambda bb, wh=wh, ww=ww: window_bounds_from_bbox(
+                        bb, W, H, wh, ww))(bbox.reshape(-1, bbox.shape[-1]))
+                # global fit: EVERY local view on EVERY shard must fit the
+                # tier (the switch sits outside the collectives)
+                fit = jnp.all(fits)
+                if sw is not None:
+                    fit &= jnp.all(bbox[..., 4] <= sw)
+                offs_t.append(offs.reshape(bbox.shape[:-1] + (2,)))
+                fit_t.append(fit)
 
             def grads_win(t):
                 def call(_):
                     f = jax.value_and_grad(
                         lambda p, cam, aux, p2, off: _pal(
                             p, cam, aux[0], p2, profiles=aux[1],
-                            window=off, win_shape=win_shapes[t]))
+                            window=off, win_shape=win_shapes[t][:2],
+                            slot_w=win_shapes[t][2]))
                     return vv(f, extra=1)(params_blk, cams, view_aux,
                                           poses_2d, offs_t[t])
                 return call
