@@ -614,3 +614,30 @@ def test_eval_sh_matches_torch_reference(deg):
     np.testing.assert_allclose(
         np.asarray(sh_ops.SH2RGB(jnp.asarray(rgb))),
         su.SH2RGB(torch.from_numpy(rgb)).numpy(), rtol=1e-6)
+
+
+def test_misc_general_utils_match_torch_reference():
+    """unpack_covariance / inverse_sigmoid / PILtoTorch vs the reference's
+    own module (general_utils.py:27-36, 144-164)."""
+    gu = _ref_module("general_utils")
+    rng = np.random.default_rng(37)
+
+    cov6 = rng.normal(0, 2, (9, 6)).astype(np.float32)
+    with _CudaToCpu():
+        want = gu.unpack_covariance(torch.from_numpy(cov6)).numpy()
+    got = np.asarray(geometry.unpack_cov6(jnp.asarray(cov6)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    x = rng.uniform(0.01, 0.99, 23).astype(np.float32)
+    want = gu.inverse_sigmoid(torch.from_numpy(x)).numpy()
+    got = np.asarray(geometry.inverse_sigmoid(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    from PIL import Image
+
+    from skelsplat_tpu.utils import pil_to_array
+    arr = rng.integers(0, 255, (12, 10, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    want = gu.PILtoTorch(img, None).numpy()
+    got = pil_to_array(img)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)
