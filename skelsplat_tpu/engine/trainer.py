@@ -315,18 +315,18 @@ class SceneTrainer:
          self._prepare_b, self._segment_b) = self._build_run()
 
     def _window_config(self):
-        """Static window-shape cascade for the windowed Pallas kernel:
-        a list of (win_h, win_w), tightest first, or None.
+        """Static window-tier cascade for the windowed Pallas kernel:
+        a list of (win_h, win_w, slot_w | None), tightest first, or None.
 
-        Each macro step picks the TIGHTEST window that covers every view's
-        union bbox of splat rects ∪ GT supports (pallas_raster.
-        pallas_window_bounds) via lax.switch, falling back to the
-        full-frame kernel when none fits — exact always, and adaptive to
-        how large the skeleton projects (H36M bodies fit 512², Panoptic's
-        wider frames need 768²). ``SKELSPLAT_PALLAS_WINDOW`` overrides:
-        "off" disables, "H1xW1[,H2xW2,…]" sets the cascade. Only the
-        per-scene path switches (under the batched vmap a cond would
-        execute every branch)."""
+        Each macro step picks the TIGHTEST tier whose window covers every
+        view's union bbox of splat rects ∪ GT supports AND (for sliced
+        tiers) whose slot_w covers every slot's 128-aligned column span
+        (pallas_raster.pallas_view_bbox) via lax.switch, falling back
+        through unsliced tiers to the full-frame kernel — exact always,
+        and adaptive to how large the skeleton projects.
+        ``SKELSPLAT_PALLAS_WINDOW`` overrides: "off" disables,
+        "H1xW1[xS1][,H2xW2[xS2],…]" sets the cascade (the optional S
+        enables per-slot column slicing inside the kernel)."""
         import os
 
         from skelsplat_tpu.ops.pallas_raster import LANES, ROWS
