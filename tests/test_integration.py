@@ -243,3 +243,41 @@ def test_analyze_confidence_workflow(synth, runcfg):
     assert os.path.exists(os.path.join(out, "sigma_coverage.png"))
     res = ac.analyze(info)
     assert 0.0 <= res["coverage"][1] <= res["coverage"][3] <= 1.0
+
+
+def test_eval_image_metrics(synth, runcfg, tmp_path):
+    """evaluation.image_metrics: SSIM always, LPIPS when a weights npz is
+    available (random weights here — exercises the full path)."""
+    cfg_path, run_dir = runcfg
+    if not os.path.isdir(os.path.join(run_dir, "point_cloud")):
+        pytest.skip("needs the train run from test_train_eval_pipeline")
+    from skelsplat_tpu.data.loader import DataLoader
+    from skelsplat_tpu.evaluation import image_metrics
+    from skelsplat_tpu.ops import lpips as L
+
+    w = L.random_weights("alex")
+    npz = {"net_type": np.asarray("alex")}
+    for i, (cw, cb) in enumerate(zip(w["conv_w"], w["conv_b"])):
+        npz[f"conv{i}_w"], npz[f"conv{i}_b"] = cw, cb
+    for i, lw in enumerate(w["lin_w"]):
+        npz[f"lin{i}_w"] = lw
+    wpath = str(tmp_path / "alex.npz")
+    np.savez(wpath, **npz)
+
+    loader = DataLoader(
+        synth, os.path.join(synth, "initial_guess", "metrabs"),
+        os.path.join(synth, "2d_metrabs"), frame_step=64,
+        start_id=0, end_id=2, nviews=4)
+    out = image_metrics(loader, run_dir, lpips_net="alex",
+                        lpips_weights=wpath)
+    assert 0.0 < out["ssim"] <= 1.0
+    assert out["lpips"] is not None and np.isfinite(out["lpips"])
+    assert len(out["per_scene"]) == 2
+    for entry in out["per_scene"].values():
+        assert "ssim" in entry and "lpips" in entry
+
+    # without an explicit weights path: falls back to committed npzs if
+    # any, else SSIM-only with LPIPS None
+    out2 = image_metrics(loader, run_dir, lpips_weights=None)
+    assert (out2["lpips"] is None) == (L.default_weights_path("vgg") is None)
+    assert 0.0 < out2["ssim"] <= 1.0
