@@ -319,3 +319,44 @@ def test_multichip_programs_cached_across_batches(batch):
     # an equivalent mesh object hashes equal → still no rebuild
     mesh2 = make_mesh(2, 4)
     assert mesh_mod.multichip_programs(mesh2, trainer) is p1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_multichip_slot_sliced_matches_fused(monkeypatch):
+    """The slot-sliced windowed tier on the (scenes x views) mesh: per-slot
+    column slicing must compose with the sharded step and match the
+    single-device fused trainer."""
+    from skelsplat_tpu.parallel.mesh import multichip_optimize
+    from tests.utils import synthetic_rig, synthetic_skeleton, take_cam, \
+        project_np
+
+    W2, H2, NV2 = 288, 160, 2
+    cams, _, _ = synthetic_rig(n_views=NV2, width=W2, height=H2)
+    rng = np.random.default_rng(11)
+    gt = synthetic_skeleton(N_J, rng=rng, spread=120.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(NV2)]).astype(np.float32)
+    init = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    initial_b = np.stack([init, init + rng.normal(0, 10, init.shape)
+                          .astype(np.float32)])
+    gt_b, p2d_b = np.stack([gt, gt]), np.stack([p2d, p2d])
+    cams_b = jax.tree.map(lambda x: np.stack([x, x]), cams)
+
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    opt = OptConfig(iterations=4)
+    st = TrainSettings(consistency_loss="none", accumulation_steps=2)
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256x128,96x256")
+    t_p = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
+    assert t_p._pallas_win == [(96, 256, 128), (96, 256, None)]
+    mesh = make_mesh(2, 2)
+    params_b, hist_b = multichip_optimize(mesh, t_p, initial_b, p2d_b,
+                                          cams_b, gt_b)
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
+    t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
+    for b in range(2):
+        cams1 = jax.tree.map(lambda x: x[b], cams_b)
+        p_ref, _ = t_f.optimize_scene(initial_b[b], p2d_b[b], cams1,
+                                      gt_b[b])
+        np.testing.assert_allclose(np.asarray(params_b.xyz)[b],
+                                   np.asarray(p_ref.xyz),
+                                   rtol=1e-4, atol=1e-4)
