@@ -404,7 +404,6 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     while in_flight:
         _finalize(in_flight.pop(0))
 
-    n = max(len(results), 1)
     # Mean is WALL CLOCK over the sweep: with pipelining the per-scene
     # dispatch→fetch intervals overlap (scene s's fetch happens after scene
     # s+1 is dispatched), so summing them would double-count host work.

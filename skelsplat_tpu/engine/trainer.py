@@ -357,8 +357,12 @@ class SceneTrainer:
             sizes = []
             for item in spec.split(","):
                 parts = [int(x) for x in item.lower().split("x")]
-                sizes.append(tuple(parts) if len(parts) == 3
-                             else (parts[0], parts[1], None))
+                if len(parts) not in (2, 3) or any(x <= 0 for x in parts[:2]):
+                    raise ValueError(
+                        f"SKELSPLAT_PALLAS_WINDOW entry {item!r}: expected "
+                        "HxW or HxWxSLOT with positive sizes")
+                sw = parts[2] if len(parts) == 3 and parts[2] > 0 else None
+                sizes.append((parts[0], parts[1], sw))
         wins = []
         for wh, ww, *rest in sizes:
             sw = rest[0] if rest else None

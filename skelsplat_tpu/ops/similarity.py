@@ -15,6 +15,7 @@ reference's shipped behavior is the plain mean of train.py:215-218).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -25,7 +26,10 @@ def pairwise_cosine_similarity(gradients, eps: float = 1e-8):
     own norm + eps before the dot products."""
     g = jnp.transpose(gradients, (1, 0, 2))                  # (N,V,D)
     gn = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + eps)
-    sim = jnp.einsum("nvc,nwc->nvw", gn, gn)
+    # precision=HIGHEST: this feeds the live optimizer step on TPU, where
+    # the default bf16 matmul path would drift ~0.3% vs the f32 oracles
+    sim = jnp.einsum("nvc,nwc->nvw", gn, gn,
+                     precision=jax.lax.Precision.HIGHEST)
     v = sim.shape[-1]
     eye = jnp.eye(v, dtype=bool)
     return jnp.where(eye[None], 1.0, sim)
@@ -47,7 +51,8 @@ def pairwise_cosine_norm_similarity(gradients, w1: float = 0.2,
                   g / jnp.where(total == 0, 1.0, total)[:, None, None], g)
 
     n = jnp.linalg.norm(g, axis=-1)                          # (N,V)
-    dots = jnp.einsum("nvc,nwc->nvw", g, g)
+    dots = jnp.einsum("nvc,nwc->nvw", g, g,
+                      precision=jax.lax.Precision.HIGHEST)
     cos = dots / (n[:, :, None] * n[:, None, :] + eps)
     rel = (jnp.abs(n[:, :, None] - n[:, None, :])
            / (jnp.maximum(n[:, :, None], n[:, None, :]) + eps))
@@ -135,7 +140,9 @@ def confidence_weighted_mean(gradients, w1: float = 0.2, w2: float = 0.8,
     sim = pairwise_cosine_norm_similarity(gradients, w1, w2, eps)
     w = compute_scaling_weights(sim)                          # (V,N)
     tot = jnp.sum(w, axis=0)                                  # (N,)
-    weighted = jnp.einsum("vn,vnd->nd", w, gradients) / jnp.where(
+    weighted = jnp.einsum(
+        "vn,vnd->nd", w, gradients,
+        precision=jax.lax.Precision.HIGHEST) / jnp.where(
         tot == 0, 1.0, tot)[:, None]
     mean = jnp.mean(gradients, axis=0)
     return jnp.where((tot == 0)[:, None], mean, weighted)

@@ -178,8 +178,11 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                 offs, fits = jax.vmap(
                     lambda bb, wh=wh, ww=ww: window_bounds_from_bbox(
                         bb, W, H, wh, ww))(bbox.reshape(-1, bbox.shape[-1]))
-                # global fit: EVERY local view on EVERY shard must fit the
-                # tier (the switch sits outside the collectives)
+                # fit over the LOCAL shard's views only — shards may pick
+                # different tiers for the same macro step, which is safe
+                # precisely because the branches contain no collectives
+                # (the all_gather sits outside the switch); keep it that
+                # way, or a global fit reduction becomes mandatory
                 fit = jnp.all(fits)
                 if sw is not None:
                     fit &= jnp.all(bbox[..., 4] <= sw)
