@@ -73,3 +73,44 @@ def error_confidence_correlation(ply_paths, gt_poses):
         corr = float("nan")
     return {"errors": errors, "confidences": confidences,
             "correlation": corr}
+
+
+def anisotropy_per_joint(lambdas):
+    """Per-joint per-view 2D anisotropy λmax/λmin from a lambdas mapping
+    {joint_id: [(λ1, λ2), ...]} — the statistic of
+    analize_2D_anisotropy.py:34-54 (compute_confidence_per_joint, minus
+    the print loop)."""
+    out = {}
+    for joint_id, view_lambdas in lambdas.items():
+        out[joint_id] = [float(max(l1, l2) / min(l1, l2))
+                         for l1, l2 in view_lambdas]
+    return out
+
+
+def scene_lambdas(params, cameras, W, H):
+    """The ``lambdas.json`` producer the reference never ships: per-joint
+    per-view eigenvalues (λ1 ≥ λ2) of the dilated 2D heatmap covariance
+    (the EWA heatmap convention, general_utils.py:252-265) for one scene's
+    optimized Gaussians. Returns {joint_id: [(λ1, λ2), ...views]} feeding
+    ``anisotropy_per_joint``."""
+    import jax
+    import jax.numpy as jnp
+
+    from skelsplat_tpu.core import geometry
+
+    cov6 = params.covariance()
+
+    def one_view(cam):
+        def one_joint(mean3d, c6):
+            cov2d = geometry.ewa_cov2d_heatmap(
+                mean3d, c6, cam.view4, cam.focal_x, cam.focal_y,
+                cam.tan_fovx, cam.tan_fovy)
+            s1, s2 = geometry.heatmap_sigmas(cov2d)
+            return s1 * s1, s2 * s2          # λ = σ²
+        return jax.vmap(one_joint)(params.xyz, cov6)
+
+    l1, l2 = jax.vmap(one_view)(cameras)     # (V, N) each
+    l1, l2 = np.asarray(l1), np.asarray(l2)
+    n = l1.shape[1]
+    return {str(j): [(float(l1[v, j]), float(l2[v, j]))
+                     for v in range(l1.shape[0])] for j in range(n)}

@@ -150,3 +150,27 @@ def test_noise_injection_reproducible(rng):
     np.testing.assert_array_equal(np.asarray(p1.xyz), np.asarray(p2_.xyz))
     # and the noise actually moved the start away from gt
     assert np.linalg.norm(np.asarray(p1.xyz) - gt, axis=1).mean() > 1.0
+
+
+def test_anisotropy_analysis(rng):
+    """analysis.scene_lambdas + anisotropy_per_joint — the 2D-anisotropy
+    statistic of analize_2D_anisotropy.py over a synthetic scene."""
+    import jax
+    import jax.numpy as jnp
+
+    from skelsplat_tpu import analysis
+    from skelsplat_tpu.engine.trainer import init_params_jnp
+    from tests.utils import synthetic_rig, synthetic_skeleton
+
+    cams, W, H = synthetic_rig(n_views=3, width=96, height=80)
+    gt = synthetic_skeleton(17, rng=np.random.default_rng(2))
+    params = init_params_jnp(jnp.asarray(gt), "h36m", 3.0, 1.0)
+    lam = analysis.scene_lambdas(params, jax.tree.map(jnp.asarray, cams),
+                                 W, H)
+    assert set(lam) == {str(j) for j in range(17)}
+    assert all(len(v) == 3 for v in lam.values())
+    for views in lam.values():
+        for l1, l2 in views:
+            assert l1 >= l2 > 0
+    aniso = analysis.anisotropy_per_joint(lam)
+    assert all(a >= 1.0 for views in aniso.values() for a in views)
