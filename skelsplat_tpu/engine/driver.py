@@ -427,7 +427,10 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
                       pipe, debug, save_iterations, scene_batch, output_dir,
                       tb_writer, log):
     """Throughput scene loop: group same-shape scenes into vmapped batches
-    (bitwise-identical per-scene results; see tests). Per-macro TB curves
+    (per-scene results agree with the per-scene path to f32-ulp level —
+    bitwise before the fused single-dispatch fast path; see
+    tests/test_engine.py::test_batched_scene_trainer_matches_single).
+    Per-macro TB curves
     are logged from the batched history, so throughput mode keeps the
     per-scene path's observability."""
     records = [rec for _, rec in dataset_loader]

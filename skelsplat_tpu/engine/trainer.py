@@ -311,8 +311,8 @@ class SceneTrainer:
         self.renderer = renderer
         self._pallas_win = self._window_config() if renderer == "pallas" \
             else None
-        (self._prepare, self._segment,
-         self._prepare_b, self._segment_b) = self._build_run()
+        (self._prepare, self._segment, self._prepare_b, self._segment_b,
+         self._run_full, self._run_full_b) = self._build_run()
 
     def _window_config(self):
         """Static window-tier cascade for the windowed Pallas kernel:
@@ -572,9 +572,41 @@ class SceneTrainer:
         segment = make_segment(self._pallas_win)
         segment_b = make_segment(self._pallas_win, batched=True)
         prepare_b = jax.vmap(prepare)
+
+        def run_full(initial_pose, poses_2d, cameras, drop_mask,
+                     pose_3d_gt, extent, hist8):
+            """prepare + the whole scan in ONE program — the no-mid-
+            checkpoint fast path. Through a remote-device tunnel each
+            program dispatch costs an RPC round-trip (~3 ms); fusing the
+            two halves removes one boundary per scene (~8% of the
+            steady-state sweep). ``hist8`` seeds the cross-scene stopper
+            window (pass the +inf default when there is no carry — it
+            equals prepare's own init)."""
+            carry, view_aux = prepare(initial_pose, poses_2d, cameras,
+                                      drop_mask)
+            if use_stop:
+                carry = (carry[0], carry[1], hist8) + carry[3:]
+            return segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
+                           extent, jnp.asarray(0, jnp.int32), self.n_macro)
+
+        def run_full_b(initial_b, poses_2d_b, cams_b, drop_b, gt_b,
+                       extent_b, hist8_b):
+            """Batched twin of run_full — ONE dispatch for the whole
+            batch, and the same prepare+scan program structure as the
+            per-scene fast path (keeping the two paths' XLA fusion
+            decisions, and therefore their results, aligned)."""
+            carry, view_aux = prepare_b(initial_b, poses_2d_b, cams_b,
+                                        drop_b)
+            if use_stop:
+                carry = (carry[0], carry[1], hist8_b) + carry[3:]
+            return segment_b(carry, view_aux, poses_2d_b, cams_b, gt_b,
+                             extent_b, jnp.asarray(0, jnp.int32),
+                             self.n_macro)
+
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
-                jax.jit(segment_b, static_argnums=(7,)))
+                jax.jit(segment_b, static_argnums=(7,)),
+                jax.jit(run_full), jax.jit(run_full_b))
 
     # ------------------------------------------------------------------
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
@@ -630,17 +662,7 @@ class SceneTrainer:
          extent) = put_trees((initial_pose, poses_2d, cameras, pose_3d_gt,
                               drop_mask, extent))
 
-        carry, view_aux = self._prepare(initial_pose, poses_2d,
-                                        cameras, drop_mask)
         use_stop = self.settings.early_stopping == "opt_early_stopping"
-        if use_stop and hist8_init is not None:
-            # cross-scene OptEarlyStopping window: the reference constructs
-            # the stopper once before the scene loop (train.py:64), so its
-            # 8-loss history straddles scene boundaries — seed it with the
-            # previous scene's final history (MacroHistory.hist8)
-            carry = (carry[0], carry[1],
-                     jnp.asarray(hist8_init, jnp.float32)) + carry[3:]
-
         accum = self.settings.accumulation_steps
         rounded = sorted({min(max(it // accum, 0), self.n_macro)
                           for it in checkpoint_iterations})
@@ -649,18 +671,44 @@ class SceneTrainer:
         if not bounds or bounds[-1] != self.n_macro:
             bounds.append(self.n_macro)
 
-        all_recs = []
-        k0 = 0
-        for b in bounds:
-            n_seg = b - k0
-            if n_seg > 0:
-                carry, recs = self._segment(
-                    carry, view_aux, poses_2d, cameras, pose_3d_gt,
-                    extent, jnp.asarray(k0, jnp.int32), n_seg)
-                all_recs.append(recs)
-                k0 = b
-            if checkpoint_fn is not None and b in rounded:
-                checkpoint_fn(b * accum, carry[0])
+        if bounds == [self.n_macro]:
+            # no mid-run checkpoints: prepare + scan in ONE dispatch (each
+            # program boundary costs an RPC round-trip through remote
+            # tunnels). The hist8 arg is prepare's own +inf init when no
+            # cross-scene window is carried, so results are identical.
+            hist8 = (jnp.asarray(hist8_init, jnp.float32)
+                     if (use_stop and hist8_init is not None)
+                     else jnp.full((8,), jnp.inf, jnp.float32))
+            carry, recs = self._run_full(initial_pose, poses_2d, cameras,
+                                         drop_mask, pose_3d_gt, extent,
+                                         hist8)
+            all_recs = [recs]
+            if checkpoint_fn is not None and rounded:
+                checkpoint_fn(self.n_macro * accum, carry[0])
+        else:
+            carry, view_aux = self._prepare(initial_pose, poses_2d,
+                                            cameras, drop_mask)
+            if use_stop and hist8_init is not None:
+                # cross-scene OptEarlyStopping window: the reference
+                # constructs the stopper once before the scene loop
+                # (train.py:64), so its 8-loss history straddles scene
+                # boundaries — seed it with the previous scene's final
+                # history (MacroHistory.hist8)
+                carry = (carry[0], carry[1],
+                         jnp.asarray(hist8_init, jnp.float32)) + carry[3:]
+
+            all_recs = []
+            k0 = 0
+            for b in bounds:
+                n_seg = b - k0
+                if n_seg > 0:
+                    carry, recs = self._segment(
+                        carry, view_aux, poses_2d, cameras, pose_3d_gt,
+                        extent, jnp.asarray(k0, jnp.int32), n_seg)
+                    all_recs.append(recs)
+                    k0 = b
+                if checkpoint_fn is not None and b in rounded:
+                    checkpoint_fn(b * accum, carry[0])
 
         params = carry[0]
         losses_k, err_k, err_rel_k, stop_marks = (
@@ -703,11 +751,10 @@ class SceneTrainer:
         cameras_b = jax.tree.map(jnp.asarray, cameras_b)
         drop_b = jnp.zeros((B, nviews, n), dtype=bool)
 
-        carry, view_aux = self._prepare_b(initial_b, poses_2d_b, cameras_b,
-                                          drop_b)
-        carry, recs = self._segment_b(
-            carry, view_aux, poses_2d_b, cameras_b, pose_3d_gt_b, extent_b,
-            jnp.asarray(0, jnp.int32), self.n_macro)
+        hist8_b = jnp.full((B, 8), jnp.inf, jnp.float32)
+        carry, recs = self._run_full_b(
+            initial_b, poses_2d_b, cameras_b, drop_b, pose_3d_gt_b,
+            extent_b, hist8_b)
         losses_k, err_k, err_rel_k, stop_marks = recs
         history = MacroHistory(
             losses=losses_k, error=err_k, error_rel=err_rel_k,

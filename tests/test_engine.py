@@ -235,7 +235,12 @@ def test_consistency_loss_symmetrizes_limbs(scene):
 
 
 def test_batched_scene_trainer_matches_single(scene):
-    """optimize_scene_batch must be bitwise-equal to per-scene runs."""
+    """optimize_scene_batch must match per-scene runs to f32-ulp level.
+
+    (Bitwise until round 3's fused prepare+scan single-dispatch: the
+    batched and single-scene programs now each fuse across the prepare
+    boundary, and vmapped vs unvmapped XLA fusion choices differ at
+    1 ulp on isolated elements.)"""
     import jax
     cams, gt, p2d, init = scene
     rng = np.random.default_rng(11)
@@ -249,10 +254,12 @@ def test_batched_scene_trainer_matches_single(scene):
     pb, hb = tr.optimize_scene_batch(inits, p2ds, cams_b, gts)
     for b in range(2):
         p1, h1 = tr.optimize_scene(inits[b], p2ds[b], cams, gts[b])
-        np.testing.assert_array_equal(np.asarray(pb.xyz)[b],
-                                      np.asarray(p1.xyz))
-        np.testing.assert_array_equal(np.asarray(hb.losses)[b],
-                                      np.asarray(h1.losses))
+        np.testing.assert_allclose(np.asarray(pb.xyz)[b],
+                                    np.asarray(p1.xyz),
+                                    rtol=3e-7, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hb.losses)[b],
+                                   np.asarray(h1.losses),
+                                   rtol=3e-7, atol=1e-9)
 
 
 def _reference_loop_with_stop(cams, p2d, init, iters, opt_cfg, model,
