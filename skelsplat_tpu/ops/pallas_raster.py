@@ -589,32 +589,57 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         profiles = pallas_view_profiles(spec_v, W, H)
     p1_lane, p2, B, spans = profiles
 
-    # sorted, channel-aligned slot data
+    # channel-aligned slot data, built as ONE column stack (a chain of
+    # .at[].set scatters costs ~10 us/macro of tiny scatter ops on TPU)
     opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
-    gauss = jnp.zeros((n, PACK), jnp.float32)
-    gauss = gauss.at[:, IDX_PX].set(pp.pix[:, 0])
-    gauss = gauss.at[:, IDX_PY].set(pp.pix[:, 1])
-    gauss = gauss.at[:, IDX_CA].set(pp.conic[:, 0])
-    gauss = gauss.at[:, IDX_CB].set(pp.conic[:, 1])
-    gauss = gauss.at[:, IDX_CC].set(pp.conic[:, 2])
-    gauss = gauss.at[:, IDX_OPA].set(opa)
     rect = jax.lax.stop_gradient(jnp.concatenate(
         [pp.rect_min, pp.rect_max], axis=1).astype(jnp.float32))
-    gauss = gauss.at[:, IDX_RX0:IDX_RY1 + 1].set(rect)
-    gauss = gauss.at[:, IDX_B].set(B)
-    gauss = gauss.at[:, IDX_W].set(spec_v.width[0])
-    gauss = gauss.at[:, IDX_H].set(spec_v.height[0])
-    # GT row support per slot for the kernel's band culling: gt > 0 requires
-    # p1 > 0 (B = −mn/denom ≤ 0), so the nonzero-row span of the profile is
-    # a tight conservative bound (precomputed in pallas_view_profiles).
-    gauss = gauss.at[:, IDX_GY0].set(spans[:, 0])
-    gauss = gauss.at[:, IDX_GY1].set(spans[:, 1])
 
-    gauss_s = gauss[order]
-    # permute the per-scene-constant profiles into depth order: lane gather
-    # on p1 (column=channel), row gather on p2
-    p1_s = jnp.concatenate([p1_lane[:, order], p1_lane[:, n:]], axis=1)
-    p2_s = p2[order]
+    # per-slot 128-aligned column-slice starts (IDX_C0), in UNSORTED joint
+    # order (every input is per-joint, so computing before the depth sort
+    # is equivalent); only meaningful when slot slicing is active
+    if (window is not None and slot_w is not None
+            and slot_w < win_shape[1]):
+        big = jnp.float32(1e9)
+        rx0 = rect[:, 0] * geometry.BLOCK_X
+        rx1 = rect[:, 2] * geometry.BLOCK_X
+        act_r = rx1 > rx0
+        act_g = spans[:, 3] > spans[:, 2]
+        lo = jnp.minimum(jnp.where(act_r, rx0, big),
+                         jnp.where(act_g, spans[:, 2], big))
+        c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
+                      0.0, float(win_shape[1] - slot_w))
+        c0 = jax.lax.stop_gradient(
+            jnp.where(act_r | act_g, c0, 0.0))
+    else:
+        c0 = jnp.zeros((n,), jnp.float32)
+
+    ones = jnp.ones((n,), jnp.float32)
+    gauss = jnp.stack(
+        [pp.pix[:, 0], pp.pix[:, 1],
+         pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
+         rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+         B, spec_v.width[0] * ones, spec_v.height[0] * ones,
+         # GT row support per slot for the kernel's band culling: gt > 0
+         # requires p1 > 0 (B = −mn/denom ≤ 0), so the nonzero-row span of
+         # the profile is a tight conservative bound (pallas_view_profiles)
+         spans[:, 0], spans[:, 1], c0], axis=1)
+
+    # depth-order permutation as one-hot f32 matmuls at HIGHEST precision:
+    # bitwise-identical to gathers (each output row/lane is 1.0·x plus
+    # exact zeros) but ONE MXU op instead of a gather + its scatter-add
+    # VJP — the gathers dominated the per-macro XLA soup on TPU
+    hi = jax.lax.Precision.HIGHEST
+    iota_n = jnp.arange(n, dtype=order.dtype)
+    Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
+    gauss_s = jnp.matmul(Pn, gauss, precision=hi)
+    # lane permute of p1: PL[k, i] = 1 iff k == order[i] (lanes ≥ n zero
+    # out — the kernel reads lanes < n only)
+    lanes = p1_lane.shape[1]
+    iota_l = jnp.arange(lanes, dtype=order.dtype)
+    PL = (iota_l[:, None] == order[None, :]).astype(jnp.float32)
+    PL = jax.lax.stop_gradient(_pad_to(PL, lanes, axis=1))
+    Pn_sg = jax.lax.stop_gradient(Pn)
 
     if window is not None:
         win_h, win_w = win_shape
@@ -628,33 +653,25 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
                              f"of LANES={LANES}")
         r_off = window[0].astype(jnp.int32)
         c_off = window[1].astype(jnp.int32)
-        p1_s = jax.lax.dynamic_slice(p1_s, (r_off, 0), (win_h, LANES))
-        p2_s = jax.lax.dynamic_slice(
-            p2_s, (jnp.int32(0), c_off), (n, win_w))
+        # window-slice the CONSTANT profiles first, permute the (smaller)
+        # crop second — fewer matmul flops, and the batched-offset slice
+        # reads a loop-invariant array
+        p1_w = jax.lax.dynamic_slice(p1_lane, (r_off, 0), (win_h, LANES))
+        p2_w = jax.lax.dynamic_slice(
+            p2, (jnp.int32(0), c_off), (n, win_w))
         offs = window.reshape(1, 2)
-        if slot_w is not None and slot_w < win_w:
-            # per-slot 128-aligned column-slice starts, relative to the
-            # window: cover each slot's (render ∪ GT) column union. Clip
-            # keeps the slice inside the window; the covered-span proof is
-            # in the trainer's fits test (bbox[4] <= slot_w).
-            big = jnp.float32(1e9)
-            rx0 = gauss_s[:, IDX_RX0] * geometry.BLOCK_X
-            rx1 = gauss_s[:, IDX_RX1] * geometry.BLOCK_X
-            gx0, gx1 = spans[order, 2], spans[order, 3]
-            act_r = rx1 > rx0
-            act_g = gx1 > gx0
-            lo = jnp.minimum(jnp.where(act_r, rx0, big),
-                             jnp.where(act_g, gx0, big))
-            c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
-                          0.0, float(win_w - slot_w))
-            c0 = jnp.where(act_r | act_g, c0, 0.0)
-            gauss_s = gauss_s.at[:, IDX_C0].set(
-                jax.lax.stop_gradient(c0))
-        else:
+        if slot_w is not None and slot_w >= win_w:
             slot_w = None
+        # per-slot column-slice starts (IDX_C0) were packed before the
+        # depth sort above; the covered-span proof is in the trainer's
+        # fits test (bbox[4] <= slot_w)
     else:
+        p1_w, p2_w = p1_lane, p2
         offs = jnp.zeros((1, 2), jnp.float32)
         slot_w = None
+
+    p1_s = jnp.matmul(p1_w, PL, precision=hi)
+    p2_s = jnp.matmul(Pn_sg, p2_w, precision=hi)
 
     S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs,
                        loss_function != "l2_gaussian", interpret, slot_w)
