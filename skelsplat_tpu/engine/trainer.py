@@ -586,8 +586,13 @@ class SceneTrainer:
                                       drop_mask)
             if use_stop:
                 carry = (carry[0], carry[1], hist8) + carry[3:]
-            return segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
-                           extent, jnp.asarray(0, jnp.int32), self.n_macro)
+            carry, recs = segment(carry, view_aux, poses_2d, cameras,
+                                  pose_3d_gt, extent,
+                                  jnp.asarray(0, jnp.int32), self.n_macro)
+            # reduce stopped_at INSIDE the program: a host-side jnp.max
+            # after the dispatch is an extra eager program (= one more RPC
+            # round-trip per scene through remote tunnels)
+            return carry, recs, jnp.max(recs[3])
 
         def run_full_b(initial_b, poses_2d_b, cams_b, drop_b, gt_b,
                        extent_b, hist8_b):
@@ -599,9 +604,10 @@ class SceneTrainer:
                                         drop_b)
             if use_stop:
                 carry = (carry[0], carry[1], hist8_b) + carry[3:]
-            return segment_b(carry, view_aux, poses_2d_b, cams_b, gt_b,
-                             extent_b, jnp.asarray(0, jnp.int32),
-                             self.n_macro)
+            carry, recs = segment_b(carry, view_aux, poses_2d_b, cams_b,
+                                    gt_b, extent_b,
+                                    jnp.asarray(0, jnp.int32), self.n_macro)
+            return carry, recs, jnp.max(recs[3], axis=1)
 
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
@@ -679,12 +685,16 @@ class SceneTrainer:
             hist8 = (jnp.asarray(hist8_init, jnp.float32)
                      if (use_stop and hist8_init is not None)
                      else jnp.full((8,), jnp.inf, jnp.float32))
-            carry, recs = self._run_full(initial_pose, poses_2d, cameras,
-                                         drop_mask, pose_3d_gt, extent,
-                                         hist8)
-            all_recs = [recs]
+            carry, recs, stop_max = self._run_full(
+                initial_pose, poses_2d, cameras, drop_mask, pose_3d_gt,
+                extent, hist8)
             if checkpoint_fn is not None and rounded:
                 checkpoint_fn(self.n_macro * accum, carry[0])
+            losses_k, err_k, err_rel_k, _ = recs
+            return carry[0], MacroHistory(
+                losses=losses_k, error=err_k, error_rel=err_rel_k,
+                stopped_at=stop_max,
+                hist8=carry[2] if use_stop else None)
         else:
             carry, view_aux = self._prepare(initial_pose, poses_2d,
                                             cameras, drop_mask)
@@ -752,11 +762,11 @@ class SceneTrainer:
         drop_b = jnp.zeros((B, nviews, n), dtype=bool)
 
         hist8_b = jnp.full((B, 8), jnp.inf, jnp.float32)
-        carry, recs = self._run_full_b(
+        carry, recs, stop_b = self._run_full_b(
             initial_b, poses_2d_b, cameras_b, drop_b, pose_3d_gt_b,
             extent_b, hist8_b)
-        losses_k, err_k, err_rel_k, stop_marks = recs
+        losses_k, err_k, err_rel_k, _ = recs
         history = MacroHistory(
             losses=losses_k, error=err_k, error_rel=err_rel_k,
-            stopped_at=jnp.max(stop_marks, axis=1))
+            stopped_at=stop_b)
         return carry[0], history
