@@ -93,17 +93,29 @@ def main(argv=None):
           file=sys.stderr)
 
     # steady-state sweep throughput: scenes are independent, so the driver
-    # pipelines them by default (fetch scene s−1 after dispatching s,
-    # training.pipeline_scenes) — hiding the device→host round-trip
-    # (~35 ms through an RPC tunnel). This is the production per-frame
-    # cost of the sweep, so it is the reported metric.
+    # pipelines them by default and fetches results in GROUPS of
+    # training.fetch_scenes (default 8) packed into one device round-trip
+    # each — through an RPC tunnel every individual fetch exposes ~12 ms
+    # that does not overlap device execution. This mirrors the production
+    # sweep (engine/driver.py _finalize_group), so it is the reported
+    # metric. Warm the pack program first (one-off compile).
+    from skelsplat_tpu.utils import fetch_trees
+
+    group = 8
+    warm = [trainer.optimize_scene(init[1], p2d[1], cams_b, gt[1])
+            for _ in range(min(group, n - 1))]
+    fetch_trees(warm)
     t0 = time.perf_counter()
     out = [trainer.optimize_scene(init[s], p2d[s], cams_b, gt[s])
            for s in range(1, n)]
-    assert all(np.isfinite(np.asarray(p.xyz)).all() for p, _ in out)
+    fetched = []
+    for g0 in range(0, len(out), group):
+        fetched += fetch_trees(out[g0:g0 + group])
+    assert all(np.isfinite(p.xyz).all() for p, _ in fetched)
     value = (time.perf_counter() - t0) / (n - 1)
     print(f"pipelined sweep: {value:.4f} s/frame "
-          f"({args.frames} frames in flight)", file=sys.stderr)
+          f"({args.frames} frames in flight, fetch group {group})",
+          file=sys.stderr)
 
     if args.profile:
         with jax.profiler.trace(args.profile):

@@ -258,25 +258,36 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     # it fresh, like a reference restart)
     hist8_carry = None
 
-    # Scene pipelining: scenes are independent, so the previous scene's
-    # results are fetched AFTER dispatching the current one — hiding the
-    # device→host latency (~35 ms per round-trip through an RPC tunnel)
-    # behind the next scene's on-device work. Depth 2 (one scene in
-    # flight); training.pipeline_scenes=false restores strictly serial
-    # dispatch. The hist8 early-stop carry stays on-device, so pipelining
-    # never forces a sync.
+    # Scene pipelining: scenes are independent, so results are fetched
+    # AFTER dispatching later scenes — hiding the device→host latency
+    # behind on-device work. Measured through the RPC tunnel, each fetch
+    # exposes ~12 ms of wall clock that does NOT overlap device execution
+    # even when fully pipelined, so fetches are additionally GROUPED:
+    # ``training.fetch_scenes`` results (default 8) are packed into ONE
+    # device round-trip, amortizing the per-fetch cost to ~1.5 ms/scene.
+    # The fetch of one group overlaps the execution of the next (up to
+    # 2×group scenes in flight). training.pipeline_scenes=false restores
+    # strictly serial dispatch+fetch. The hist8 early-stop carry stays
+    # on-device, so pipelining never forces a sync.
     pipeline = bool(getattr(training_group, "pipeline_scenes", True))
+    fetch_group = max(1, int(getattr(training_group, "fetch_scenes", 8)
+                             or 1)) if pipeline else 1
     in_flight: list = []
     scenes_dispatched = 0
     sweep_t0 = time.perf_counter()
 
-    def _finalize(job):
-        nonlocal total_opt_seconds
-        scene_id, record, params, history, pending_saves, saver, t0 = job
-        # everything the finalize needs, in ONE device round-trip (each
+    def _finalize_group(jobs):
+        # everything every finalize needs, in ONE device round-trip (each
         # individual fetch costs a full RPC through remote tunnels)
-        params, history, pending_saves = fetch_trees(
-            params, history, pending_saves)
+        fetched = fetch_trees([(j[2], j[3], j[4]) for j in jobs])
+        for job, (params, history, pending_saves) in zip(jobs, fetched):
+            _finalize(job, params, history, pending_saves)
+
+    def _finalize(job, params, history, pending_saves):
+        nonlocal total_opt_seconds
+        scene_id, record, _, _, _, saver, t0 = job
+        # dispatch→fetch latency of this scene (group members share the
+        # fetch timestamp; the summary's mean uses sweep wall clock)
         dt = time.perf_counter() - t0
         total_opt_seconds += dt
 
@@ -319,7 +330,9 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                 f"{record.scene_name}.ply")):
             log.info(f"Scene {record.scene_name}: already done, skipping")
             while in_flight:   # keep the summary in dataset order
-                _finalize(in_flight.pop(0))
+                g, in_flight = (in_flight[:fetch_group],
+                                in_flight[fetch_group:])
+                _finalize_group(g)
             if settings.dropout:
                 # consume this scene's torch global-RNG draw so the masks of
                 # the remaining scenes stay bitwise in dataset-order sync
@@ -398,11 +411,13 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 
         in_flight.append((scene_id, record, params, history, pending_saves,
                           save_ply_at, t0))
-        while len(in_flight) > (1 if pipeline else 0):
-            _finalize(in_flight.pop(0))
+        while len(in_flight) > (2 * fetch_group - 1 if pipeline else 0):
+            g, in_flight = in_flight[:fetch_group], in_flight[fetch_group:]
+            _finalize_group(g)
 
     while in_flight:
-        _finalize(in_flight.pop(0))
+        g, in_flight = in_flight[:fetch_group], in_flight[fetch_group:]
+        _finalize_group(g)
 
     # Mean is WALL CLOCK over the sweep: with pipelining the per-scene
     # dispatch→fetch intervals overlap (scene s's fetch happens after scene

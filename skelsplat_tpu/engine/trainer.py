@@ -316,7 +316,8 @@ class SceneTrainer:
 
     def _window_config(self):
         """Static window-tier cascade for the windowed Pallas kernel:
-        a list of (win_h, win_w, slot_w | None), tightest first, or None.
+        a list of (win_h, win_w, slot_w | None, rows), tightest first, or
+        None.
 
         Each macro step picks the TIGHTEST tier whose window covers every
         view's union bbox of splat rects ∪ GT supports AND (for sliced
@@ -324,14 +325,41 @@ class SceneTrainer:
         (pallas_raster.pallas_view_bbox) via lax.switch, falling back
         through unsliced tiers to the full-frame kernel — exact always,
         and adaptive to how large the skeleton projects.
+
+        ``rows`` is the tier's row-band height: windowed tiers use 64-row
+        bands when the backward VJP stacks fit VMEM (halving the grid's
+        per-program overhead; the full-frame fallback keeps the module
+        default ROWS=32 — its stacks are window-width-sized and blow the
+        16 MB scoped-VMEM limit at 64 rows on Panoptic frames, the
+        round-3 ROWS=64 rejection in PERF.md).
+
         ``SKELSPLAT_PALLAS_WINDOW`` overrides: "off" disables,
-        "H1xW1[xS1][,H2xW2[xS2],…]" sets the cascade (the optional S
-        enables per-slot column slicing inside the kernel)."""
+        "H1xW1[xS1[xR1]],…" sets the cascade (the optional S enables
+        per-slot column slicing inside the kernel, the optional R forces
+        the tier's row-band height)."""
         import os
 
-        from skelsplat_tpu.ops.pallas_raster import LANES, ROWS
+        from skelsplat_tpu.ops.pallas_raster import LANES, PACK, ROWS
         H_pad = -(-self.H // ROWS) * ROWS
         W_pad = -(-self.W // LANES) * LANES
+        n = self.model.n_joints
+
+        def tier_rows(wh, ww, sw):
+            # largest 2^k·ROWS band that divides the window height and
+            # keeps the backward kernel's VMEM scratch under budget:
+            # 2 α/T stacks (n, rows, stack_w) + 3 chains (rows, ww)
+            # 2×ROWS is the measured sweet spot (8 < 16 < 32 < 64 in
+            # PERF.md's ladder; beyond that coarser band culling makes
+            # sparse splats pay for more dead rows than the saved
+            # per-program overhead) — the env override can force more.
+            stack_w = sw or ww
+            for r in (2 * ROWS, ROWS):
+                vmem = 4 * (2 * n * r * stack_w + 3 * r * ww
+                            + r * LANES + n * ww + n * PACK)
+                if wh % r == 0 and vmem <= 12 * 2**20:
+                    return r
+            return ROWS
+
         spec = os.environ.get("SKELSPLAT_PALLAS_WINDOW", "auto")
         if spec == "off":
             return None
@@ -350,32 +378,37 @@ class SceneTrainer:
             # rows — without tier 2 they fell to the full frame at ~5x
             # cost); tier 3 is the unsliced safety net for macro steps
             # whose slot spans outgrow slot_w before the full-frame
-            # fallback.
-            sizes = [(512, 640, 256), (768, 1024, 384),
-                     (928, 1152, 384), (928, 1152, None)]
+            # fallback. Heights are 256-multiples so the 64/128-row bands
+            # divide them (960 replaced the original 928 for this).
+            sizes = [(512, 640, 256, None), (768, 1024, 384, None),
+                     (960, 1152, 384, None), (960, 1152, None, None)]
         else:
             sizes = []
             for item in spec.split(","):
                 parts = [int(x) for x in item.lower().split("x")]
-                if len(parts) not in (2, 3) or any(x <= 0 for x in parts[:2]):
+                if len(parts) not in (2, 3, 4) \
+                        or any(x <= 0 for x in parts[:2]):
                     raise ValueError(
                         f"SKELSPLAT_PALLAS_WINDOW entry {item!r}: expected "
-                        "HxW or HxWxSLOT with positive sizes")
-                sw = parts[2] if len(parts) == 3 and parts[2] > 0 else None
-                sizes.append((parts[0], parts[1], sw))
+                        "HxW, HxWxSLOT or HxWxSLOTxROWS with positive sizes")
+                sw = parts[2] if len(parts) >= 3 and parts[2] > 0 else None
+                rw = parts[3] if len(parts) == 4 and parts[3] > 0 else None
+                sizes.append((parts[0], parts[1], sw, rw))
         wins = []
-        for wh, ww, *rest in sizes:
-            sw = rest[0] if rest else None
+        for wh, ww, sw, rw in sizes:
             wh = min(-(-wh // ROWS) * ROWS, H_pad)
             ww = min(-(-ww // LANES) * LANES, W_pad)
             if sw is not None:
                 sw = min(-(-sw // LANES) * LANES, ww)
                 if sw >= ww:
                     sw = None
-            if (wh, ww) == (H_pad, W_pad) and sw is None:
+            rw = rw or tier_rows(wh, ww, sw)
+            if wh % rw:
+                rw = ROWS
+            if (wh, ww) == (H_pad, W_pad) and sw is None and rw == ROWS:
                 continue
-            if (wh, ww, sw) not in wins:
-                wins.append((wh, ww, sw))
+            if (wh, ww, sw, rw) not in wins:
+                wins.append((wh, ww, sw, rw))
         wins.sort(key=lambda s: (s[0] * s[1], s[2] or s[1]))
         return wins or None
 
@@ -501,10 +534,11 @@ class SceneTrainer:
                             self.antialiasing, profiles=aux[1]))(
                         p, cams_k, aux_k, p2_k)
                     offs_t, fit_t = [], []
-                    for wh, ww, sw in win_shapes:
+                    for wh, ww, sw, rw in win_shapes:
                         offs, fits = jax.vmap(
-                            lambda bb, wh=wh, ww=ww: window_bounds_from_bbox(
-                                bb, self.W, self.H, wh, ww))(
+                            lambda bb, wh=wh, ww=ww, rw=rw:
+                            window_bounds_from_bbox(
+                                bb, self.W, self.H, wh, ww, rows=rw))(
                             bbox.reshape(-1, bbox.shape[-1]))
                         fit = jnp.all(fits)
                         if sw is not None:
@@ -519,7 +553,8 @@ class SceneTrainer:
                                     p_, cam, aux[0], p2, profiles=aux[1],
                                     window=off,
                                     win_shape=win_shapes[t][:2],
-                                    slot_w=win_shapes[t][2]))
+                                    slot_w=win_shapes[t][2],
+                                    rows=win_shapes[t][3]))
                             return vmap_views(f, extra_axes=(0,))(
                                 p, cams_k, aux_k, p2_k, offs_t[t])
                         return call

@@ -326,9 +326,10 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             sfx_ref[:, cols] = suffix + a_i * T_i * ghat
 
 
-def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
+def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
     n = gauss.shape[0]
-    n_prog = p1.shape[0] // ROWS
+    rows = ROWS if rows is None else rows
+    n_prog = p1.shape[0] // rows
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n, l1, slot_w),
@@ -336,7 +337,7 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -347,18 +348,19 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),   # T
-            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),   # done mask
+            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),   # T
+            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),   # done mask
         ],
         interpret=interpret,
     )(gauss, p1, p2, offs)
     return out[0, 0], out[0, 1]
 
 
-def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
+def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
     """Combined forward+backward pass: returns (S, C, dg)."""
     n = gauss.shape[0]
-    n_prog = p1.shape[0] // ROWS
+    rows = ROWS if rows is None else rows
+    n_prog = p1.shape[0] // rows
     stack_w = p2.shape[1] if (slot_w is None or slot_w >= p2.shape[1]) \
         else slot_w
     out, dg = pl.pallas_call(
@@ -367,7 +369,7 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -385,31 +387,31 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
             jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # T
-            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # done mask
-            pltpu.VMEM((n, ROWS, stack_w), jnp.float32),       # live-α stack
-            pltpu.VMEM((n, ROWS, stack_w), jnp.float32),       # T stack
-            pltpu.VMEM((ROWS, p2.shape[1]), jnp.float32),      # suffix
+            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),      # T
+            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),      # done mask
+            pltpu.VMEM((n, rows, stack_w), jnp.float32),       # live-α stack
+            pltpu.VMEM((n, rows, stack_w), jnp.float32),       # T stack
+            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),      # suffix
         ],
         interpret=interpret,
     )(gauss, p1, p2, offs)
     return out[0, 0], out[0, 1], dg.reshape(n, PACK)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _pallas_S_C(gauss, p1, p2, offs, l1, interpret, slot_w=None):
-    return _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _pallas_S_C(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
+    return _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows)
 
 
-def _pallas_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None):
+def _pallas_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
     # under value_and_grad the COMBINED kernel produces the loss and the
     # screen-space gradients in one launch — the forward-only kernel never
     # runs on the grad path (the adjoint is the cotangent scale below)
-    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w)
+    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows)
     return (S, C), (dg, p1, p2, offs)
 
 
-def _pallas_bwd(l1, interpret, slot_w, res, cot):
+def _pallas_bwd(l1, interpret, slot_w, rows, res, cot):
     dg, p1, p2, offs = res
     gS, _ = cot
     return (dg * gS, jnp.zeros_like(p1), jnp.zeros_like(p2),
@@ -523,14 +525,18 @@ def pallas_view_bbox(params, cam, spec_v, W: int, H: int,
         jnp.stack([lo_y, hi_y, lo_x, hi_x, slot_need]))
 
 
-def window_bounds_from_bbox(bbox, W: int, H: int, win_h: int, win_w: int):
+def window_bounds_from_bbox(bbox, W: int, H: int, win_h: int, win_w: int,
+                            rows: int | None = None):
     """Snap a ``pallas_view_bbox`` to a (win_h, win_w) window: returns
     (offs (2,) f32 [row, col], fits bool). Pure arithmetic — evaluate for
-    every cascade tier from one bbox."""
+    every cascade tier from one bbox. ``rows`` is the tier's row-band
+    height (the snap quantum; the dynamic slice itself allows any offset,
+    so the clip to H_pad−win_h needs no extra alignment)."""
+    rows = ROWS if rows is None else rows
     H_pad = -(-H // ROWS) * ROWS
     W_pad = -(-W // LANES) * LANES
     lo_y, hi_y, lo_x, hi_x = bbox[0], bbox[1], bbox[2], bbox[3]
-    row_off = jnp.clip(jnp.floor(lo_y / ROWS) * ROWS, 0.0,
+    row_off = jnp.clip(jnp.floor(lo_y / rows) * rows, 0.0,
                        float(H_pad - win_h))
     col_off = jnp.clip(jnp.floor(lo_x / LANES) * LANES, 0.0,
                        float(W_pad - win_w))
@@ -555,7 +561,8 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
                            interpret: bool | None = None,
                            profiles=None,
                            loss_function: str = "l2_gaussian",
-                           window=None, win_shape=None, slot_w=None):
+                           window=None, win_shape=None, slot_w=None,
+                           rows=None):
     """Masked heatmap view loss — Pallas-fused twin of fused.fused_view_loss
     for every loss in PALLAS_LOSSES (loss_utils.py:86-118).
 
@@ -641,13 +648,14 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     PL = jax.lax.stop_gradient(_pad_to(PL, lanes, axis=1))
     Pn_sg = jax.lax.stop_gradient(Pn)
 
+    eff_rows = ROWS if rows is None else rows
     if window is not None:
         win_h, win_w = win_shape
-        if win_h % ROWS or win_w % LANES:
-            # the grid is win_h // ROWS programs — a misaligned window
+        if win_h % eff_rows or win_w % LANES:
+            # the grid is win_h // rows programs — a misaligned window
             # would silently drop its last partial band
             raise ValueError(f"win_shape {win_shape} must be multiples of "
-                             f"(ROWS={ROWS}, LANES={LANES})")
+                             f"(rows={eff_rows}, LANES={LANES})")
         if slot_w is not None and (slot_w % LANES or slot_w <= 0):
             raise ValueError(f"slot_w {slot_w} must be a positive multiple "
                              f"of LANES={LANES}")
@@ -673,8 +681,12 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     p1_s = jnp.matmul(p1_w, PL, precision=hi)
     p2_s = jnp.matmul(Pn_sg, p2_w, precision=hi)
 
+    if p1_s.shape[0] % eff_rows:
+        raise ValueError(f"kernel height {p1_s.shape[0]} not a multiple of "
+                         f"rows={eff_rows}")
     S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs,
-                       loss_function != "l2_gaussian", interpret, slot_w)
+                       loss_function != "l2_gaussian", interpret, slot_w,
+                       rows)
     return S / jnp.maximum(C, 1.0)
 
 
@@ -688,13 +700,13 @@ def make_pallas_view_loss(model, settings, W: int, H: int,
     cons_fn = loss_registry.consistency_losses[settings.consistency_loss]
 
     def view_loss(params, cam, spec_v, pose_2d_v, profiles=None,
-                  window=None, win_shape=None, slot_w=None):
+                  window=None, win_shape=None, slot_w=None, rows=None):
         main = fused_view_loss_pallas(params, cam, spec_v, W, H,
                                       antialiasing, interpret,
                                       profiles=profiles,
                                       loss_function=settings.loss_function,
                                       window=window, win_shape=win_shape,
-                                      slot_w=slot_w)
+                                      slot_w=slot_w, rows=rows)
         cons = cons_fn(params.xyz, model.scene_type, reduction="mean")
         return main + cons * settings.lambda_consistency
 

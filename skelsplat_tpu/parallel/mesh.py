@@ -174,10 +174,11 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                 p, cam, aux[0], W, H, trainer.antialiasing,
                 profiles=aux[1]))(params_blk, cams, view_aux, poses_2d)
             offs_t, fit_t = [], []
-            for wh, ww, sw in win_shapes:
+            for wh, ww, sw, rw in win_shapes:
                 offs, fits = jax.vmap(
-                    lambda bb, wh=wh, ww=ww: window_bounds_from_bbox(
-                        bb, W, H, wh, ww))(bbox.reshape(-1, bbox.shape[-1]))
+                    lambda bb, wh=wh, ww=ww, rw=rw: window_bounds_from_bbox(
+                        bb, W, H, wh, ww, rows=rw))(
+                    bbox.reshape(-1, bbox.shape[-1]))
                 # fit over the LOCAL shard's views only — shards may pick
                 # different tiers for the same macro step, which is safe
                 # precisely because the branches contain no collectives
@@ -195,7 +196,8 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                         lambda p, cam, aux, p2, off: _pal(
                             p, cam, aux[0], p2, profiles=aux[1],
                             window=off, win_shape=win_shapes[t][:2],
-                            slot_w=win_shapes[t][2]))
+                            slot_w=win_shapes[t][2],
+                            rows=win_shapes[t][3]))
                     return vv(f, extra=1)(params_blk, cams, view_aux,
                                           poses_2d, offs_t[t])
                 return call

@@ -107,7 +107,17 @@ def fetch_trees(*trees):
             return jax.lax.bitcast_convert_type(x, jnp.int32)
         raise TypeError(f"fetch_trees: unsupported dtype {x.dtype}")
 
-    flat = np.asarray(jnp.concatenate([pack(leaves[i]) for i in idx]))
+    # the pack runs as ONE jitted program (cached per leaf spec): eagerly
+    # it is 2 ops per leaf + a concat, i.e. hundreds of tiny dispatches
+    # per fetch — ~10 ms of exposed RPC overhead per call through remote
+    # tunnels even when fully pipelined
+    spec = tuple((leaves[i].shape, str(leaves[i].dtype)) for i in idx)
+    packer = _FETCH_CACHE.get(spec)
+    if packer is None:
+        packer = jax.jit(
+            lambda xs: jnp.concatenate([pack(x) for x in xs]))
+        _FETCH_CACHE[spec] = packer
+    flat = np.asarray(packer([leaves[i] for i in idx]))
 
     out = list(leaves)
     off = 0
@@ -127,6 +137,7 @@ def fetch_trees(*trees):
 
 
 _PUT_CACHE: dict = {}
+_FETCH_CACHE: dict = {}
 
 
 def put_trees(*trees):

@@ -175,7 +175,8 @@ def test_windowed_kernel_matches_full(monkeypatch):
     opt = OptConfig(iterations=6)
     st = TrainSettings(accumulation_steps=2)
     t_w = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_w._pallas_win == [(32, 256, None), WIN + (None,)]
+    assert t_w._pallas_win == [(32, 256, None, 32),
+                               WIN + (None, 32)]
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
     t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
     pw, hw = t_w.optimize_scene(init, p2d, cams, gt)
@@ -206,7 +207,7 @@ def test_batched_windowed_pallas_matches_fused(monkeypatch):
     st = TrainSettings(accumulation_steps=2)
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256")
     t_p = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_p._pallas_win == [(96, 256, None)]
+    assert t_p._pallas_win == [(96, 256, None, 32)]
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
     t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
     pp, hp = t_p.optimize_scene_batch(inits, p2ds, cams_b, gts)
@@ -318,7 +319,7 @@ def test_slot_sliced_windowed_matches_fused(monkeypatch):
 
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256x128")
     t_s = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_s._pallas_win == [(96, 256, 128)]
+    assert t_s._pallas_win == [(96, 256, 128, 32)]
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
     t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
     ps, hs = t_s.optimize_scene(init, p2d, cams, gt)
@@ -331,9 +332,39 @@ def test_slot_sliced_windowed_matches_fused(monkeypatch):
     # cascade: sliced tier first; both must agree with the fused result
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256x128,96x256")
     t_c = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_c._pallas_win == [(96, 256, 128), (96, 256, None)]
+    assert t_c._pallas_win == [(96, 256, 128, 32),
+                               (96, 256, None, 32)]
     pc, hc = t_c.optimize_scene(init, p2d, cams, gt)
     np.testing.assert_allclose(np.asarray(pc.xyz), np.asarray(pf.xyz),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(hc.losses), np.asarray(hf.losses),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_tall_band_tier_matches_fused(monkeypatch):
+    """Per-tier row-band heights (trainer._window_config tier_rows): a
+    64-row-band sliced tier (HxWxSLOTxROWS env form) must match the fused
+    trainer — the taller bands change only per-program granularity and
+    reduction grouping, never the masked-sum semantics."""
+    N, W2, H2, NV2 = 17, 288, 192, 2
+    cams, _, _ = synthetic_rig(n_views=NV2, width=W2, height=H2)
+    rng = np.random.default_rng(11)
+    gt = synthetic_skeleton(N, rng=rng, spread=120.0)
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(NV2)]).astype(np.float32)
+    init = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    model = SkeletonModel("h36m", N, scaling=3.0)
+    opt = OptConfig(iterations=6)
+    st = TrainSettings(accumulation_steps=2)
+
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "128x256x128x64")
+    t_t = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
+    assert t_t._pallas_win == [(128, 256, 128, 64)]
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "off")
+    t_f = SceneTrainer(model, opt, st, W2, H2, renderer="fused")
+    pt, ht = t_t.optimize_scene(init, p2d, cams, gt)
+    pf, hf = t_f.optimize_scene(init, p2d, cams, gt)
+    np.testing.assert_allclose(np.asarray(pt.xyz), np.asarray(pf.xyz),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ht.losses), np.asarray(hf.losses),
                                rtol=1e-5, atol=1e-7)

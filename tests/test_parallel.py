@@ -265,7 +265,7 @@ def test_multichip_windowed_pallas_matches_fused(monkeypatch):
     st = TrainSettings(consistency_loss="none", accumulation_steps=2)
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256")
     t_p = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_p._pallas_win == [(96, 256, None)]
+    assert t_p._pallas_win == [(96, 256, None, 32)]
     mesh = make_mesh(2, 2)
     params_b, hist_b = multichip_optimize(mesh, t_p, initial_b, p2d_b,
                                           cams_b, gt_b)
@@ -347,7 +347,8 @@ def test_multichip_slot_sliced_matches_fused(monkeypatch):
     st = TrainSettings(consistency_loss="none", accumulation_steps=2)
     monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256x128,96x256")
     t_p = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
-    assert t_p._pallas_win == [(96, 256, 128), (96, 256, None)]
+    assert t_p._pallas_win == [(96, 256, 128, 32),
+                               (96, 256, None, 32)]
     mesh = make_mesh(2, 2)
     params_b, hist_b = multichip_optimize(mesh, t_p, initial_b, p2d_b,
                                           cams_b, gt_b)
