@@ -46,7 +46,7 @@ from skelsplat_tpu.ops.fused import fused_view_loss_available, make_fused_view_l
 from skelsplat_tpu.ops.pallas_raster import (make_pallas_view_loss,
                                              pallas_view_profiles,
                                              pallas_view_bbox,
-                                             window_bounds_from_bbox)
+                                             window_bounds_multi)
 
 REPEAT_TOL = 1e-6  # OptEarlyStopping repeat_tolerance (general_utils.py:468)
 
@@ -533,18 +533,11 @@ class SceneTrainer:
                             p_, cam, aux[0], self.W, self.H,
                             self.antialiasing, profiles=aux[1]))(
                         p, cams_k, aux_k, p2_k)
-                    offs_t, fit_t = [], []
-                    for wh, ww, sw, rw in win_shapes:
-                        offs, fits = jax.vmap(
-                            lambda bb, wh=wh, ww=ww, rw=rw:
-                            window_bounds_from_bbox(
-                                bb, self.W, self.H, wh, ww, rows=rw))(
-                            bbox.reshape(-1, bbox.shape[-1]))
-                        fit = jnp.all(fits)
-                        if sw is not None:
-                            fit &= jnp.all(bbox[..., 4] <= sw)
-                        offs_t.append(offs.reshape(bbox.shape[:-1] + (2,)))
-                        fit_t.append(fit)
+                    offs_all, fit_all = window_bounds_multi(
+                        bbox.reshape(-1, bbox.shape[-1]), self.W, self.H,
+                        win_shapes)
+                    offs_t = [offs_all[t].reshape(bbox.shape[:-1] + (2,))
+                              for t in range(len(win_shapes))]
 
                     def win_call(t):
                         def call(_):
@@ -562,8 +555,8 @@ class SceneTrainer:
                     # first tier whose window covers all views (and all
                     # scenes when batched); the appended True sentinel
                     # routes "none fit" to the full-frame kernel
-                    branch = jnp.argmax(jnp.stack(
-                        fit_t + [jnp.asarray(True)]))
+                    branch = jnp.argmax(jnp.concatenate(
+                        [fit_all, jnp.ones((1,), bool)]))
                     return jax.lax.switch(
                         branch,
                         [win_call(t) for t in range(len(win_shapes))]

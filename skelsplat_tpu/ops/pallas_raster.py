@@ -120,25 +120,41 @@ def _derr(d, l1: bool):
     return jnp.sign(d) if l1 else 2.0 * d
 
 
-def _slot_cols(g_ref, i, slot_w, w_pad):
-    """Column slice of slot i: a ``pl.ds`` of the 128-aligned per-slot
-    window (pack IDX_C0, computed host-side to cover the slot's render ∪ GT
-    column support) when slot slicing is on, else the full width. All of a
-    slot's nonzero work lives inside its slice, so restricting every
-    vector op to it is exact — it just skips columns that would contribute
-    identical zeros."""
-    if slot_w is None or slot_w >= w_pad:
-        return slice(None), jnp.float32(0.0), w_pad
-    c0 = pl.multiple_of(g_ref[i, IDX_C0].astype(jnp.int32), LANES)
-    return pl.ds(c0, slot_w), g_ref[i, IDX_C0], slot_w
+def _slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off):
+    """Column slices of slot i: ``(cols_T, cols_p2, c0f, cw)``.
+
+    ``cols_T`` indexes the WINDOW-width chain state (T/done/suffix,
+    width ``w_pad``); ``cols_p2`` indexes the FULL-width profile rows
+    (width ``p2_w`` — the profiles are no longer pre-sliced in XLA, a
+    batched dynamic-slice per view cost ~10 µs/macro as an unrolled
+    while loop); ``c_off`` is the window's absolute column origin.
+
+    With slot slicing on, both are the 128-aligned per-slot window (pack
+    IDX_C0, window-relative, computed host-side to cover the slot's
+    render ∪ GT column support). All of a slot's nonzero work lives
+    inside its slice, so restricting every vector op to it is exact — it
+    just skips columns that would contribute identical zeros."""
+    if slot_w is not None and slot_w < w_pad:
+        c0f = g_ref[i, IDX_C0]
+        c0 = pl.multiple_of(c0f.astype(jnp.int32), LANES)
+        cols_p2 = pl.ds(pl.multiple_of(c0 + c_off, LANES), slot_w)
+        return pl.ds(c0, slot_w), cols_p2, c0f, slot_w
+    if p2_w > w_pad:
+        # unsliced windowed tier against full-width profiles
+        return (slice(None), pl.ds(pl.multiple_of(c_off, LANES), w_pad),
+                jnp.float32(0.0), w_pad)
+    return slice(None), slice(None), jnp.float32(0.0), w_pad
 
 
 def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
                 out_ref, T_ref, done_ref):
-    """g_ref: SMEM (n, PACK); p1_ref: VMEM (ROWS, 128) lane-per-slot rows
-    block; p2_ref: VMEM (n, W_pad); offs_ref: SMEM (1, 2) window origin
-    (row, col) in absolute pixels (zeros when unwindowed); out_ref:
-    SMEM (1, 2).
+    """g_ref: SMEM (n, PACK); p1_ref: VMEM (H_pad, 128) FULL lane-per-slot
+    row profiles (each program reads its own band — pre-slicing the
+    window in XLA cost an unrolled while loop per view under vmap);
+    p2_ref: VMEM (n, W_pad) FULL column profiles; offs_ref: SMEM (1, 2)
+    window origin (row, col) in absolute pixels (zeros when unwindowed);
+    out_ref: SMEM (1, 2). The window extent comes from the T_ref scratch
+    shape: (rows, win_w).
 
     Per-slot row-band culling: a slot whose splat rect misses this band has
     gate ≡ false here (zero α, unchanged T chain) so its compositing work is
@@ -151,8 +167,12 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     full (ROWS, w_pad) block (the dominant cost at Panoptic widths; splats
     are ~100-300 px wide against 1024+ px windows).
     """
-    rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
-    y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
+    rows, w_pad = T_ref.shape
+    p2_w = p2_ref.shape[1]
+    r_off = offs_ref[0, 0].astype(jnp.int32)
+    c_off = offs_ref[0, 1].astype(jnp.int32)
+    row0 = r_off + pl.program_id(0) * rows
+    y0f = row0.astype(jnp.float32)
 
     # TPU grid programs run sequentially: the shared SMEM output block is
     # zeroed by the first program and accumulated by all of them.
@@ -169,10 +189,11 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
-        cols, c0f, cw = _slot_cols(g_ref, i, slot_w, w_pad)
+        cols, cols_p2, c0f, cw = _slot_cols(g_ref, i, slot_w, w_pad,
+                                            p2_w, c_off)
 
         @pl.when(rend_ov)
-        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f, cw=cw):
             ys, xs, tile_x, tile_y = _block_geometry(
                 y0f, rows, cw, offs_ref[0, 1] + c0f)
             in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
@@ -185,7 +206,8 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             live = gate & (test >= geometry.T_MIN) & (~done)
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
+            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
@@ -195,11 +217,12 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             T_ref[:, cols] = jnp.where(live, test, T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+        def _(i=i, cols_p2=cols_p2, c0f=c0f, cw=cw):
             ys, xs, _, _ = _block_geometry(y0f, rows, cw,
                                            offs_ref[0, 1] + c0f)
             in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
+            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
@@ -224,8 +247,12 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     the α/T stacks, sized (n, ROWS, slot_w)) runs over the slot's column
     slice; the T/done/suffix chains stay full-width so cross-slot coupling
     at shared pixels is preserved exactly."""
-    rows, w_pad = p1_ref.shape[0], p2_ref.shape[1]
-    y0f = jnp.float32(pl.program_id(0) * rows) + offs_ref[0, 0]
+    rows, w_pad = T_ref.shape
+    p2_w = p2_ref.shape[1]
+    r_off = offs_ref[0, 0].astype(jnp.int32)
+    c_off = offs_ref[0, 1].astype(jnp.int32)
+    row0 = r_off + pl.program_id(0) * rows
+    y0f = row0.astype(jnp.float32)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -237,16 +264,17 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     rends = []
-    slot_cols = [_slot_cols(g_ref, i, slot_w, w_pad) for i in range(n)]
+    slot_cols = [_slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off)
+                 for i in range(n)]
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
         rends.append(rend_ov)
-        cols, c0f, cw = slot_cols[i]
+        cols, cols_p2, c0f, cw = slot_cols[i]
         al_ref[i] = jnp.zeros((rows, cw), jnp.float32)
         Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
 
         @pl.when(rend_ov)
-        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f, cw=cw):
             ys, xs, tile_x, tile_y = _block_geometry(
                 y0f, rows, cw, offs_ref[0, 1] + c0f)
             in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
@@ -259,7 +287,8 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             live = gate & (test >= geometry.T_MIN) & (~done)
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
+            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
@@ -272,11 +301,12 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             T_ref[:, cols] = jnp.where(live, test, T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+        def _(i=i, cols_p2=cols_p2, c0f=c0f, cw=cw):
             ys, xs, _, _ = _block_geometry(y0f, rows, cw,
                                            offs_ref[0, 1] + c0f)
             in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
+            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
@@ -284,10 +314,10 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     # pass 2 (reverse): suffix in scratch; gradients only for band slots
     sfx_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n - 1, -1, -1):
-        cols, c0f, cw = slot_cols[i]
+        cols, cols_p2, c0f, cw = slot_cols[i]
 
         @pl.when(rends[i])
-        def _(i=i, cols=cols, c0f=c0f, cw=cw):
+        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f, cw=cw):
             ys, xs, tile_x, tile_y = _block_geometry(
                 y0f, rows, cw, offs_ref[0, 1] + c0f)
             in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
@@ -297,7 +327,8 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             # recompute ∂S/∂contrib from the stacks: contrib = α·T exactly
             # (α is live-masked, so r and mask match pass 1 bit-for-bit)
             r = jnp.clip(a_i * T_i, 0.0, 1.0)
-            gt = p1_ref[:, i:i + 1] * p2_ref[i:i + 1, cols] + g_ref[i, IDX_B]
+            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
             suffix = sfx_ref[:, cols]
@@ -326,10 +357,17 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             sfx_ref[:, cols] = suffix + a_i * T_i * ghat
 
 
-def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
+def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
+             win_shape=None):
+    """``p1``/``p2`` are the FULL profiles; ``win_shape`` (win_h, win_w)
+    bounds the grid and the chain scratch — the kernel reads its own
+    window bands/columns (XLA-side window slicing cost an unrolled while
+    loop per view under vmap)."""
     n = gauss.shape[0]
     rows = ROWS if rows is None else rows
-    n_prog = p1.shape[0] // rows
+    win_h, win_w = win_shape if win_shape is not None \
+        else (p1.shape[0], p2.shape[1])
+    n_prog = win_h // rows
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n, l1, slot_w),
@@ -337,7 +375,7 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+            pl.BlockSpec(p1.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -348,28 +386,30 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),   # T
-            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),   # done mask
+            pltpu.VMEM((rows, win_w), jnp.float32),   # T
+            pltpu.VMEM((rows, win_w), jnp.float32),   # done mask
         ],
         interpret=interpret,
     )(gauss, p1, p2, offs)
     return out[0, 0], out[0, 1]
 
 
-def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
+def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
+             win_shape=None):
     """Combined forward+backward pass: returns (S, C, dg)."""
     n = gauss.shape[0]
     rows = ROWS if rows is None else rows
-    n_prog = p1.shape[0] // rows
-    stack_w = p2.shape[1] if (slot_w is None or slot_w >= p2.shape[1]) \
-        else slot_w
+    win_h, win_w = win_shape if win_shape is not None \
+        else (p1.shape[0], p2.shape[1])
+    n_prog = win_h // rows
+    stack_w = win_w if (slot_w is None or slot_w >= win_w) else slot_w
     out, dg = pl.pallas_call(
         functools.partial(_bwd_kernel, n, l1, slot_w),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+            pl.BlockSpec(p1.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -387,31 +427,35 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
             jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),      # T
-            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),      # done mask
-            pltpu.VMEM((n, rows, stack_w), jnp.float32),       # live-α stack
-            pltpu.VMEM((n, rows, stack_w), jnp.float32),       # T stack
-            pltpu.VMEM((rows, p2.shape[1]), jnp.float32),      # suffix
+            pltpu.VMEM((rows, win_w), jnp.float32),      # T
+            pltpu.VMEM((rows, win_w), jnp.float32),      # done mask
+            pltpu.VMEM((n, rows, stack_w), jnp.float32),  # live-α stack
+            pltpu.VMEM((n, rows, stack_w), jnp.float32),  # T stack
+            pltpu.VMEM((rows, win_w), jnp.float32),      # suffix
         ],
         interpret=interpret,
     )(gauss, p1, p2, offs)
     return out[0, 0], out[0, 1], dg.reshape(n, PACK)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _pallas_S_C(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
-    return _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _pallas_S_C(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
+                win_shape=None):
+    return _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows,
+                    win_shape)
 
 
-def _pallas_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None):
+def _pallas_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
+                win_shape=None):
     # under value_and_grad the COMBINED kernel produces the loss and the
     # screen-space gradients in one launch — the forward-only kernel never
     # runs on the grad path (the adjoint is the cotangent scale below)
-    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows)
+    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows,
+                        win_shape)
     return (S, C), (dg, p1, p2, offs)
 
 
-def _pallas_bwd(l1, interpret, slot_w, rows, res, cot):
+def _pallas_bwd(l1, interpret, slot_w, rows, win_shape, res, cot):
     dg, p1, p2, offs = res
     gS, _ = cot
     return (dg * gS, jnp.zeros_like(p1), jnp.zeros_like(p2),
@@ -546,6 +590,32 @@ def window_bounds_from_bbox(bbox, W: int, H: int, win_h: int, win_w: int,
     return offs, fits
 
 
+def window_bounds_multi(bbox_flat, W: int, H: int, tiers):
+    """``window_bounds_from_bbox`` vectorized over a static tier cascade:
+    ``bbox_flat`` (M, 5) × ``tiers`` [(win_h, win_w, slot_w|None, rows)]
+    → (offs (T, M, 2), fit (T,) all-fit-per-tier) in ONE op chain — the
+    per-tier python loop cost ~15 µs/macro of tiny stacked ops on TPU.
+    Same arithmetic per tier as the scalar form, including the sliced
+    tiers' slot-span condition (bbox[4] ≤ slot_w)."""
+    H_pad = -(-H // ROWS) * ROWS
+    W_pad = -(-W // LANES) * LANES
+    wh = np.asarray([t[0] for t in tiers], np.float32)[:, None]
+    ww = np.asarray([t[1] for t in tiers], np.float32)[:, None]
+    sw = np.asarray([np.inf if t[2] is None else t[2] for t in tiers],
+                    np.float32)[:, None]
+    rw = np.asarray([t[3] if len(t) > 3 and t[3] else ROWS for t in tiers],
+                    np.float32)[:, None]
+    lo_y, hi_y = bbox_flat[None, :, 0], bbox_flat[None, :, 1]
+    lo_x, hi_x = bbox_flat[None, :, 2], bbox_flat[None, :, 3]
+    row_off = jnp.clip(jnp.floor(lo_y / rw) * rw, 0.0, H_pad - wh)
+    col_off = jnp.clip(jnp.floor(lo_x / LANES) * LANES, 0.0, W_pad - ww)
+    fits = ((lo_y >= row_off) & (hi_y <= row_off + wh)
+            & (lo_x >= col_off) & (hi_x <= col_off + ww)
+            & (bbox_flat[None, :, 4] <= sw))
+    offs = jnp.stack([row_off, col_off], axis=-1)
+    return offs, jnp.all(fits, axis=1)
+
+
 def pallas_window_bounds(params, cam, spec_v, W: int, H: int,
                          win_h: int, win_w: int,
                          antialiasing: bool = False, profiles=None):
@@ -659,34 +729,31 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         if slot_w is not None and (slot_w % LANES or slot_w <= 0):
             raise ValueError(f"slot_w {slot_w} must be a positive multiple "
                              f"of LANES={LANES}")
-        r_off = window[0].astype(jnp.int32)
-        c_off = window[1].astype(jnp.int32)
-        # window-slice the CONSTANT profiles first, permute the (smaller)
-        # crop second — fewer matmul flops, and the batched-offset slice
-        # reads a loop-invariant array
-        p1_w = jax.lax.dynamic_slice(p1_lane, (r_off, 0), (win_h, LANES))
-        p2_w = jax.lax.dynamic_slice(
-            p2, (jnp.int32(0), c_off), (n, win_w))
         offs = window.reshape(1, 2)
         if slot_w is not None and slot_w >= win_w:
             slot_w = None
         # per-slot column-slice starts (IDX_C0) were packed before the
         # depth sort above; the covered-span proof is in the trainer's
-        # fits test (bbox[4] <= slot_w)
+        # fits test (bbox[4] <= slot_w). The kernel reads its own window
+        # bands/columns from the FULL profiles (an XLA-side dynamic
+        # slice per view lowered to an unrolled while loop under vmap,
+        # ~10 µs/macro; a one-hot permute of the full profile produces
+        # bitwise the same rows as permuting the crop).
+        kern_shape = (win_h, win_w)
     else:
-        p1_w, p2_w = p1_lane, p2
         offs = jnp.zeros((1, 2), jnp.float32)
         slot_w = None
+        kern_shape = (p1_lane.shape[0], p2.shape[1])
+        if kern_shape[0] % eff_rows:
+            raise ValueError(f"kernel height {kern_shape[0]} not a multiple "
+                             f"of rows={eff_rows}")
 
-    p1_s = jnp.matmul(p1_w, PL, precision=hi)
-    p2_s = jnp.matmul(Pn_sg, p2_w, precision=hi)
+    p1_s = jnp.matmul(p1_lane, PL, precision=hi)
+    p2_s = jnp.matmul(Pn_sg, p2, precision=hi)
 
-    if p1_s.shape[0] % eff_rows:
-        raise ValueError(f"kernel height {p1_s.shape[0]} not a multiple of "
-                         f"rows={eff_rows}")
     S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs,
                        loss_function != "l2_gaussian", interpret, slot_w,
-                       rows)
+                       rows, kern_shape)
     return S / jnp.maximum(C, 1.0)
 
 

@@ -168,27 +168,21 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
 
         if win_shapes:
             from skelsplat_tpu.ops.pallas_raster import (
-                pallas_view_bbox, window_bounds_from_bbox)
-            # ONE bbox per (scene, view); per-tier snap is arithmetic
+                pallas_view_bbox, window_bounds_multi)
+            # ONE bbox per (scene, view); the tier snaps/fits are ONE
+            # vectorized chain over the cascade. fit is over the LOCAL
+            # shard's views only — shards may pick different tiers for
+            # the same macro step, which is safe precisely because the
+            # branches contain no collectives (the all_gather sits
+            # outside the switch); keep it that way, or a global fit
+            # reduction becomes mandatory
             bbox = vv(lambda p, cam, aux, p2: pallas_view_bbox(
                 p, cam, aux[0], W, H, trainer.antialiasing,
                 profiles=aux[1]))(params_blk, cams, view_aux, poses_2d)
-            offs_t, fit_t = [], []
-            for wh, ww, sw, rw in win_shapes:
-                offs, fits = jax.vmap(
-                    lambda bb, wh=wh, ww=ww, rw=rw: window_bounds_from_bbox(
-                        bb, W, H, wh, ww, rows=rw))(
-                    bbox.reshape(-1, bbox.shape[-1]))
-                # fit over the LOCAL shard's views only — shards may pick
-                # different tiers for the same macro step, which is safe
-                # precisely because the branches contain no collectives
-                # (the all_gather sits outside the switch); keep it that
-                # way, or a global fit reduction becomes mandatory
-                fit = jnp.all(fits)
-                if sw is not None:
-                    fit &= jnp.all(bbox[..., 4] <= sw)
-                offs_t.append(offs.reshape(bbox.shape[:-1] + (2,)))
-                fit_t.append(fit)
+            offs_all, fit_all = window_bounds_multi(
+                bbox.reshape(-1, bbox.shape[-1]), W, H, win_shapes)
+            offs_t = [offs_all[t].reshape(bbox.shape[:-1] + (2,))
+                      for t in range(len(win_shapes))]
 
             def grads_win(t):
                 def call(_):
@@ -202,7 +196,8 @@ def multichip_train_step(mesh: Mesh, trainer: SceneTrainer):
                                           poses_2d, offs_t[t])
                 return call
 
-            branch = jnp.argmax(jnp.stack(fit_t + [jnp.asarray(True)]))
+            branch = jnp.argmax(jnp.concatenate(
+                [fit_all, jnp.ones((1,), bool)]))
             losses_blk, grads_blk = jax.lax.switch(
                 branch,
                 [grads_win(t) for t in range(len(win_shapes))]

@@ -281,3 +281,42 @@ def test_eval_image_metrics(synth, runcfg, tmp_path):
     out2 = image_metrics(loader, run_dir, lpips_weights=None)
     assert (out2["lpips"] is None) == (L.default_weights_path("vgg") is None)
     assert 0.0 < out2["ssim"] <= 1.0
+
+
+def test_fetch_grouping_matches_serial(synth, tmp_path_factory):
+    """The grouped-fetch pipeline (driver _finalize_group: results of
+    training.fetch_scenes scenes packed into one device round-trip) must
+    produce scene-for-scene identical errors/stop iterations to strictly
+    serial dispatch+fetch (pipeline_scenes=false) — grouping only changes
+    WHEN results cross the device boundary, never what is computed."""
+    import train as train_cli
+    from skelsplat_tpu.config import DEFAULT_CONFIG_DIR
+
+    def run(tag, overrides):
+        exp = tmp_path_factory.mktemp(tag)
+        cfgdir = tmp_path_factory.mktemp(tag + "cfg")
+        with open(os.path.join(DEFAULT_CONFIG_DIR, "h36m.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        cfg["dataset"]["data_root"] = synth
+        cfg["dataset"]["end_scene_id"] = 8
+        cfg["optimization"]["iterations"] = 40
+        cfg["debug"]["save_iterations"] = [40]
+        cfg["hydra"]["run"]["dir"] = str(exp / "run")
+        for k, v in overrides.items():
+            cfg["training"][k] = v
+        path = cfgdir / "cfg.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        train_cli.main(["--config-name", str(path)])
+        summary = json.load(open(os.path.join(
+            str(exp / "run"), "train_summary.json")))
+        return summary["scenes"]
+
+    grouped = run("grp", {"fetch_scenes": 3})   # groups of 3 over 8 scenes
+    serial = run("ser", {"pipeline_scenes": False})
+    assert len(grouped) == len(serial) == 8
+    for g, s in zip(grouped, serial):
+        assert g["scene_name"] == s["scene_name"]
+        assert g["abs_error"] == s["abs_error"]
+        assert g["rel_error"] == s["rel_error"]
+        assert g["stopped_at"] == s["stopped_at"]
