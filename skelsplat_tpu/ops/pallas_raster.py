@@ -69,17 +69,20 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
-def _block_geometry(y0, rows, w_pad, x0=0.0):
-    """Absolute pixel/tile coordinates of this program's block. ``y0``/``x0``
-    include the window offset, so a windowed kernel sees the same coordinate
-    frame as the full one."""
-    ys = (jnp.float32(y0) + jax.lax.broadcasted_iota(
-        jnp.int32, (rows, w_pad), 0).astype(jnp.float32))
-    xs = (jnp.float32(x0) + jax.lax.broadcasted_iota(
-        jnp.int32, (rows, w_pad), 1).astype(jnp.float32))
-    tile_x = jnp.floor(xs / geometry.BLOCK_X)
+def _base_geometry(y0f, rows, cw):
+    """Shared per-program block geometry: ys/tile_y (column-invariant) and
+    ZERO-offset xs/tile_x bases. Every slot's absolute coordinates are the
+    bases plus its scalar column offset (a multiple of BLOCK_X=16, so
+    ``floor((x+K)/16) == floor(x/16) + K/16`` holds bitwise on integers
+    < 2^24) — hoisting ~8 vector ops per slot per pass out of the slot
+    loop, which is where the kernel's vector-issue time goes."""
+    ys = (jnp.float32(y0f) + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, cw), 0).astype(jnp.float32))
+    xs0 = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, cw), 1).astype(jnp.float32)
     tile_y = jnp.floor(ys / geometry.BLOCK_Y)
-    return ys, xs, tile_x, tile_y
+    tile_x0 = jnp.floor(xs0 / geometry.BLOCK_X)
+    return ys, xs0, tile_x0, tile_y
 
 
 def _slot_alpha(g_ref, i, ys, xs, tile_x, tile_y):
@@ -187,16 +190,20 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     # pattern).
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
+    cw0 = slot_w if (slot_w is not None and slot_w < w_pad) else w_pad
+    ys, xs0, tx0, tile_y = _base_geometry(y0f, rows, cw0)
+    in_rows = ys < g_ref[0, IDX_H]
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
         cols, cols_p2, c0f, cw = _slot_cols(g_ref, i, slot_w, w_pad,
                                             p2_w, c_off)
 
         @pl.when(rend_ov)
-        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f, cw=cw):
-            ys, xs, tile_x, tile_y = _block_geometry(
-                y0f, rows, cw, offs_ref[0, 1] + c0f)
-            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
+            x_off = offs_ref[0, 1] + c0f
+            xs = xs0 + x_off
+            tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
+            in_img = in_rows & (xs < g_ref[0, IDX_W])
             T = T_ref[:, cols]
             done = done_ref[:, cols] > 0.0
             alpha, gate, _, _, _, _ = _slot_alpha(g_ref, i, ys, xs,
@@ -217,10 +224,9 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             T_ref[:, cols] = jnp.where(live, test, T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i, cols_p2=cols_p2, c0f=c0f, cw=cw):
-            ys, xs, _, _ = _block_geometry(y0f, rows, cw,
-                                           offs_ref[0, 1] + c0f)
-            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+        def _(i=i, cols_p2=cols_p2, c0f=c0f):
+            xs = xs0 + (offs_ref[0, 1] + c0f)
+            in_img = in_rows & (xs < g_ref[0, IDX_W])
             gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
                   * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = (gt > 0.0) & in_img
@@ -266,6 +272,9 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     rends = []
     slot_cols = [_slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off)
                  for i in range(n)]
+    cw0 = slot_w if (slot_w is not None and slot_w < w_pad) else w_pad
+    ys, xs0, tx0, tile_y = _base_geometry(y0f, rows, cw0)
+    in_rows = ys < g_ref[0, IDX_H]
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
         rends.append(rend_ov)
@@ -274,10 +283,11 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
         Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
 
         @pl.when(rend_ov)
-        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f, cw=cw):
-            ys, xs, tile_x, tile_y = _block_geometry(
-                y0f, rows, cw, offs_ref[0, 1] + c0f)
-            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
+            x_off = offs_ref[0, 1] + c0f
+            xs = xs0 + x_off
+            tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
+            in_img = in_rows & (xs < g_ref[0, IDX_W])
             T = T_ref[:, cols]
             done = done_ref[:, cols] > 0.0
             alpha, gate, E, dx, dy, power = _slot_alpha(
@@ -301,10 +311,9 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             T_ref[:, cols] = jnp.where(live, test, T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i, cols_p2=cols_p2, c0f=c0f, cw=cw):
-            ys, xs, _, _ = _block_geometry(y0f, rows, cw,
-                                           offs_ref[0, 1] + c0f)
-            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+        def _(i=i, cols_p2=cols_p2, c0f=c0f):
+            xs = xs0 + (offs_ref[0, 1] + c0f)
+            in_img = in_rows & (xs < g_ref[0, IDX_W])
             gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
                   * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = (gt > 0.0) & in_img
@@ -317,10 +326,11 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
         cols, cols_p2, c0f, cw = slot_cols[i]
 
         @pl.when(rends[i])
-        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f, cw=cw):
-            ys, xs, tile_x, tile_y = _block_geometry(
-                y0f, rows, cw, offs_ref[0, 1] + c0f)
-            in_img = (ys < g_ref[0, IDX_H]) & (xs < g_ref[0, IDX_W])
+        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
+            x_off = offs_ref[0, 1] + c0f
+            xs = xs0 + x_off
+            tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
+            in_img = in_rows & (xs < g_ref[0, IDX_W])
             a_i = al_ref[i]
             live = a_i > 0.0
             T_i = Ti_ref[i]
