@@ -346,8 +346,12 @@ class SceneTrainer:
 
         def tier_rows(wh, ww, sw):
             # largest 2^k·ROWS band that divides the window height and
-            # keeps the backward kernel's VMEM scratch under budget:
-            # 2 α/T stacks (n, rows, stack_w) + 3 chains (rows, ww)
+            # keeps the backward kernel's VMEM under budget: 2 α/T
+            # stacks (n, rows, stack_w) + 3 chains (rows, ww) + the
+            # FULL resident profiles (the kernel slices its own window
+            # since the in-kernel-windowing change). Budget 13.5 MiB of
+            # the 16 MiB scoped limit — the Panoptic unsliced tier at
+            # 64 rows (~12.8 MiB) compiles and runs on-chip.
             # 2×ROWS is the measured sweet spot (8 < 16 < 32 < 64 in
             # PERF.md's ladder; beyond that coarser band culling makes
             # sparse splats pay for more dead rows than the saved
@@ -355,8 +359,8 @@ class SceneTrainer:
             stack_w = sw or ww
             for r in (2 * ROWS, ROWS):
                 vmem = 4 * (2 * n * r * stack_w + 3 * r * ww
-                            + r * LANES + n * ww + n * PACK)
-                if wh % r == 0 and vmem <= 12 * 2**20:
+                            + H_pad * LANES + n * W_pad + n * PACK)
+                if wh % r == 0 and vmem <= 13.5 * 2**20:
                     return r
             return ROWS
 

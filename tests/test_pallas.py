@@ -368,3 +368,37 @@ def test_tall_band_tier_matches_fused(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ht.losses), np.asarray(hf.losses),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_window_config_auto_tier_rows(monkeypatch):
+    """The auto cascade picks 64-row bands for windowed tiers whose
+    backward VJP stacks fit the VMEM budget and keeps heights that the
+    bands divide; the full-frame fallback is implied (not a tier)."""
+    monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "auto")
+    model = SkeletonModel("h36m", 17, scaling=3.0)
+    t = SceneTrainer(model, OptConfig(iterations=4), TrainSettings(),
+                     1002, 1000, renderer="pallas")
+    wins = t._pallas_win
+    assert wins is not None
+    for wh, ww, sw, rw in wins:
+        assert wh % rw == 0
+        assert ww % 128 == 0
+        assert sw is None or (sw % 128 == 0 and sw < ww)
+        stack_w = sw or ww
+        # the auto rule's own VMEM budget (incl. the full resident
+        # profiles) must hold for the choice made
+        vmem = 4 * (2 * 17 * rw * stack_w + 3 * rw * ww
+                    + 1024 * 128 + 17 * 1024)
+        assert vmem <= 13.5 * 2**20
+    # the H36M-scale tier runs 64-row bands (the round-3 continuation win)
+    assert wins[0][:2] == (512, 640) and wins[0][3] == 64
+
+    # Panoptic at 19 joints: every tier's choice also satisfies the
+    # budget with ITS full profile sizes (1088x128 p1, 19x1920 p2)
+    model19 = SkeletonModel("panoptic", 19, scaling=3.0)
+    t19 = SceneTrainer(model19, OptConfig(iterations=4), TrainSettings(),
+                       1920, 1080, renderer="pallas")
+    for wh, ww, sw, rw in t19._pallas_win:
+        vmem = 4 * (2 * 19 * rw * (sw or ww) + 3 * rw * ww
+                    + 1088 * 128 + 19 * 1920)
+        assert vmem <= 13.5 * 2**20 and wh % rw == 0
