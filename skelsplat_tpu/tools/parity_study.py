@@ -32,8 +32,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=3)
     ap.add_argument("--iterations", type=int, default=500)
-    ap.add_argument("--width", type=int, default=1002)
-    ap.add_argument("--height", type=int, default=1000)
+    ap.add_argument("--preset", default="h36m",
+                    choices=["h36m", "panoptic", "op"],
+                    help="dataset scale (image size / joint count / "
+                         "skeleton), same table as bench.py")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--out", default="/tmp/skelsplat-parity")
     ap.add_argument("--renderers", nargs="+",
                     default=["dense", "fused", "pallas", "pallas-windowed"])
@@ -50,9 +54,15 @@ def main(argv=None):
     from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
     from skelsplat_tpu.tools import ab_harness
 
-    W, H, K = args.width, args.height, args.scenes
-    init, gt, p2d, cams_b = _synthetic_inputs(K, W, H)
-    model = SkeletonModel("h36m", 17, scaling=3.0)
+    presets = {"h36m": (1002, 1000, 17, "h36m"),
+               "panoptic": (1920, 1080, 19, "panoptic"),
+               "op": (1280, 720, 15, "occlusion-person")}
+    W, H, n_joints, scene_type = presets[args.preset]
+    W = args.width or W
+    H = args.height or H
+    K = args.scenes
+    init, gt, p2d, cams_b = _synthetic_inputs(K, W, H, n_joints=n_joints)
+    model = SkeletonModel(scene_type, n_joints, scaling=3.0)
     opt = OptConfig(iterations=args.iterations)
 
     # GT npz tree for ab_harness's MPJPE columns (scene s ↔ frame id s)
