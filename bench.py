@@ -30,8 +30,10 @@ REF_SECONDS_PER_FRAME = 2.5
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=6,
-                    help="timed frames (after 1 compile/warmup frame)")
+    ap.add_argument("--frames", type=int, default=16,
+                    help="timed frames (after 1 compile/warmup frame) — "
+                         "two chained groups of 8, so the steady-state "
+                         "fetch/execution overlap is actually exercised")
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--small", action="store_true",
                     help="256x256 debug size instead of H36M 1000x1002")
@@ -93,28 +95,41 @@ def main(argv=None):
           file=sys.stderr)
 
     # steady-state sweep throughput: scenes are independent, so the driver
-    # pipelines them by default and fetches results in GROUPS of
-    # training.fetch_scenes (default 8) packed into one device round-trip
-    # each — through an RPC tunnel every individual fetch exposes ~12 ms
-    # that does not overlap device execution. This mirrors the production
-    # sweep (engine/driver.py _finalize_group), so it is the reported
-    # metric. Warm the pack program first (one-off compile).
+    # pipelines them by default and CHAINS each group of
+    # training.fetch_scenes (default 8) scenes into ONE program dispatch
+    # (optimize_scene_chain: lax.scan of the per-scene program — bitwise
+    # the per-scene results, tests/test_engine.py) with one packed H2D
+    # transfer in and one packed fetch out, the fetch overlapped with the
+    # next group's execution (through an RPC tunnel every individual
+    # put/dispatch/fetch exposes ~4/3/12 ms that does not overlap device
+    # execution). This mirrors the production sweep (engine/driver.py
+    # _dispatch_group/_finalize_group), so it is the reported metric.
+    # Warm the chain program per group size first (one-off compiles).
     from skelsplat_tpu.utils import fetch_trees
 
     group = 8
-    warm = [trainer.optimize_scene(init[1], p2d[1], cams_b, gt[1])
-            for _ in range(min(group, n - 1))]
+    gsz = min(group, n - 1)
+    tail = (n - 1) % group
+    sizes = {gsz} | ({tail} if tail else set())
+    for sz in sorted(sizes):
+        warm = trainer.optimize_scene_chain(
+            [trainer.host_inputs(init[1], p2d[1], cams_b, gt[1])
+             for _ in range(sz)])
     fetch_trees(warm)
     t0 = time.perf_counter()
-    out = [trainer.optimize_scene(init[s], p2d[s], cams_b, gt[s])
-           for s in range(1, n)]
-    fetched = []
-    for g0 in range(0, len(out), group):
-        fetched += fetch_trees(out[g0:g0 + group])
-    assert all(np.isfinite(p.xyz).all() for p, _ in fetched)
+    fetched, pending = [], []
+    for g0 in range(1, n, group):
+        batch = range(g0, min(g0 + group, n))
+        pending.append(trainer.optimize_scene_chain(
+            [trainer.host_inputs(init[s], p2d[s], cams_b, gt[s])
+             for s in batch]))
+        if len(pending) > 1:   # fetch lags one group behind the dispatch
+            fetched.append(fetch_trees(pending.pop(0)))
+    fetched += [fetch_trees(job) for job in pending]
+    assert all(np.isfinite(pg.xyz).all() for pg, _ in fetched)
     value = (time.perf_counter() - t0) / (n - 1)
     print(f"pipelined sweep: {value:.4f} s/frame "
-          f"({args.frames} frames in flight, fetch group {group})",
+          f"({args.frames} frames in flight, chained groups of {group})",
           file=sys.stderr)
 
     if args.profile:

@@ -272,16 +272,67 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     pipeline = bool(getattr(training_group, "pipeline_scenes", True))
     fetch_group = max(1, int(getattr(training_group, "fetch_scenes", 8)
                              or 1)) if pipeline else 1
-    in_flight: list = []
+    # input transfers are grouped the same way (one packed H2D RPC per
+    # fetch_group scenes): per-scene puts exposed ~4 ms of host time each
+    # through the tunnel even when pipelined
+    put_group = fetch_group
+    # Scene CHAINING: when a whole put-group shares one trainer and input
+    # shapes, the group runs as ONE program (lax.scan of the per-scene
+    # program — optimize_scene_chain), paying one dispatch RPC instead of
+    # one per scene. The scan threads the cross-scene hist8 stopper window
+    # between scenes, so chained results are bitwise the per-scene loop's
+    # (tests/test_engine.py::test_chained_scenes_match_serial) — including
+    # under early stopping, which same-chip BATCHING cannot preserve.
+    # Falls back per-scene for mid-run save_iterations (per-scene
+    # checkpoint segmentation) and debug.save_images (per-scene renders).
+    chain = (bool(getattr(training_group, "chain_scenes", True))
+             and pipeline and fetch_group > 1
+             and not debug.save_images
+             and all(it >= opt_cfg.iterations or it <= 0
+                     for it in save_iterations))
+    in_flight: list = []   # ("scene", job) | ("chain", jobs, params_g, hist_g)
+    prep_buf: list = []
     scenes_dispatched = 0
     sweep_t0 = time.perf_counter()
 
-    def _finalize_group(jobs):
+    def _entry_scenes(entry):
+        return 1 if entry[0] == "scene" else len(entry[1])
+
+    def _finalize_group(entries):
         # everything every finalize needs, in ONE device round-trip (each
         # individual fetch costs a full RPC through remote tunnels)
-        fetched = fetch_trees([(j[2], j[3], j[4]) for j in jobs])
-        for job, (params, history, pending_saves) in zip(jobs, fetched):
-            _finalize(job, params, history, pending_saves)
+        from skelsplat_tpu.engine.trainer import MacroHistory
+        fetched = fetch_trees([
+            (e[1][2], e[1][3], e[1][4]) if e[0] == "scene" else (e[2], e[3])
+            for e in entries])
+        for e, f in zip(entries, fetched):
+            if e[0] == "scene":
+                params, history, pending_saves = f
+                _finalize(e[1], params, history, pending_saves)
+                continue
+            params_g, history_g = f   # stacked host trees; slice per scene
+            for i, job in enumerate(e[1]):
+                params_i = jax.tree.map(lambda x, _i=i: x[_i], params_g)
+                hist_i = MacroHistory(
+                    losses=history_g.losses[i], error=history_g.error[i],
+                    error_rel=history_g.error_rel[i],
+                    stopped_at=history_g.stopped_at[i])
+                # chained groups take the no-mid-checkpoint fast path: the
+                # one save is the final iteration's (stop-aware in
+                # _finalize, like the fast path's checkpoint_fn call)
+                _finalize(job, params_i, hist_i,
+                          [(opt_cfg.iterations, params_i)])
+
+    def _drain(limit):
+        """Finalize the oldest in-flight entries until at most ``limit``
+        scenes remain, fetching ~fetch_group scenes per round-trip."""
+        nonlocal in_flight
+        while sum(_entry_scenes(e) for e in in_flight) > limit:
+            take, count = [], 0
+            while in_flight and count < fetch_group:
+                take.append(in_flight.pop(0))
+                count += _entry_scenes(take[-1])
+            _finalize_group(take)
 
     def _finalize(job, params, history, pending_saves):
         nonlocal total_opt_seconds
@@ -323,16 +374,59 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
             "stopped_at": stop_it,
         })
 
+    def _dispatch_group():
+        """Dispatch the buffered scenes: as ONE chained program when the
+        group is homogeneous (see ``chain`` above), else per-scene with the
+        inputs still packed into one H2D transfer (the hist8 early-stop
+        carry is serial either way)."""
+        nonlocal scenes_dispatched, hist8_carry
+        if not prep_buf:
+            return
+        from skelsplat_tpu.utils import put_trees
+
+        tr0, hin0 = prep_buf[0][2], prep_buf[0][3]
+        sig = lambda hin: tuple(np.shape(l) for l in jax.tree.leaves(hin))
+        if (chain and len(prep_buf) > 1
+                and all(p[2] is tr0 and sig(p[3]) == sig(hin0)
+                        for p in prep_buf[1:])):
+            params_g, history_g = tr0.optimize_scene_chain(
+                [p[3] for p in prep_buf], hist8_init=hist8_carry)
+            if history_g.hist8 is not None:
+                hist8_carry = history_g.hist8   # device array: no sync
+            scenes_dispatched += len(prep_buf)
+            jobs = [(p[0], p[1], None, None, None, p[6], p[7])
+                    for p in prep_buf]
+            in_flight.append(("chain", jobs, params_g, history_g))
+        else:
+            dev_ins = put_trees([p[3] for p in prep_buf])
+            for (scene_id, record, trainer, _, cameras, pending_saves,
+                 saver, t0), dev_in in zip(prep_buf, dev_ins):
+                params, history = trainer.optimize_scene(
+                    None, None, inputs=dev_in,
+                    checkpoint_iterations=save_iterations,
+                    checkpoint_fn=lambda it, prm, _ps=pending_saves:
+                        _ps.append((it, prm)),
+                    hist8_init=hist8_carry)
+                if history.hist8 is not None:
+                    hist8_carry = history.hist8   # device array: no sync
+                scenes_dispatched += 1
+                if debug.save_images:
+                    _save_images(trainer, params, cameras, output_dir,
+                                 "render")
+                in_flight.append(("scene", (scene_id, record, params,
+                                            history, pending_saves, saver,
+                                            t0)))
+        prep_buf.clear()
+        _drain(2 * fetch_group - 1 if pipeline else 0)
+
     for scene_id, record in dataset_loader:
         if skip_existing and os.path.exists(os.path.join(
                 output_dir, "point_cloud",
                 f"iteration_{_done_iteration(record.scene_name)}",
                 f"{record.scene_name}.ply")):
             log.info(f"Scene {record.scene_name}: already done, skipping")
-            while in_flight:   # keep the summary in dataset order
-                g, in_flight = (in_flight[:fetch_group],
-                                in_flight[fetch_group:])
-                _finalize_group(g)
+            _dispatch_group()
+            _drain(0)   # keep the summary in dataset order
             if settings.dropout:
                 # consume this scene's torch global-RNG draw so the masks of
                 # the remaining scenes stay bitwise in dataset-order sync
@@ -359,7 +453,7 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 
         _save_scene_artifacts(output_dir, record)
 
-        if debug.save_images and scenes_dispatched == 0:
+        if debug.save_images and scenes_dispatched == 0 and not prep_buf:
             # GT heatmap PNG dump for the first scene (train.py:113-114)
             import jax.numpy as jnp
             from skelsplat_tpu.engine.trainer import init_params_jnp
@@ -382,12 +476,6 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                 np.asarray(params.log_scales), np.asarray(params.quats),
                 np.asarray(params.opacity_logit))
 
-        # buffer checkpoints so early-stopped scenes can be saved under
-        # their stop iteration, exactly like train.py:227-233 ("iteration in
-        # save_iterations or stop" → save, then break: nothing after).
-        pending_saves = []
-        buffer_ckpt = lambda it, prm: pending_saves.append((it, prm))
-
         if settings.dropout:
             # per-scene draw from the torch global RNG, in dataset order —
             # bitwise the reference's sequence (general_utils.py:267-271)
@@ -397,27 +485,21 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
         else:
             dmask = None
 
+        # host-side prep now; the device transfer happens grouped at
+        # dispatch time (pending_saves buffers checkpoints so early-stopped
+        # scenes can be saved under their stop iteration, exactly like
+        # train.py:227-233: "iteration in save_iterations or stop" → save,
+        # then break — nothing after)
         t0 = time.perf_counter()
-        params, history = trainer.optimize_scene(
-            record.pose_3d, record.poses_2d, cameras, record.pose_3d_gt,
-            drop_mask=dmask, checkpoint_iterations=save_iterations,
-            checkpoint_fn=buffer_ckpt, hist8_init=hist8_carry)
-        if history.hist8 is not None:
-            hist8_carry = history.hist8   # device array: no sync
-        scenes_dispatched += 1
+        hin = trainer.host_inputs(record.pose_3d, record.poses_2d, cameras,
+                                  record.pose_3d_gt, drop_mask=dmask)
+        prep_buf.append((scene_id, record, trainer, hin, cameras, [],
+                         save_ply_at, t0))
+        if len(prep_buf) >= put_group:
+            _dispatch_group()
 
-        if debug.save_images:
-            _save_images(trainer, params, cameras, output_dir, "render")
-
-        in_flight.append((scene_id, record, params, history, pending_saves,
-                          save_ply_at, t0))
-        while len(in_flight) > (2 * fetch_group - 1 if pipeline else 0):
-            g, in_flight = in_flight[:fetch_group], in_flight[fetch_group:]
-            _finalize_group(g)
-
-    while in_flight:
-        g, in_flight = in_flight[:fetch_group], in_flight[fetch_group:]
-        _finalize_group(g)
+    _dispatch_group()
+    _drain(0)
 
     # Mean is WALL CLOCK over the sweep: with pipelining the per-scene
     # dispatch→fetch intervals overlap (scene s's fetch happens after scene

@@ -216,14 +216,19 @@ def init_macro_carry(params, opt_state, nviews: int, use_stop: bool,
     return (params, opt_state, jnp.asarray(False)) + acc0
 
 
-def cameras_extent(cameras: Camera) -> float:
-    """The per-scene spatial LR scale: 1.1 × max distance of the camera
-    centers from their centroid (getNerfppNorm, dataset_readers.py:482-503 →
-    scene/__init__.py:85 → create_from_pcd spatial_lr_scale)."""
-    centers = np.asarray(cameras.cam_center, dtype=np.float64)
+def extent_from_centers(centers) -> float:
+    """The per-scene spatial LR scale from (V, 3) camera centers: 1.1 × max
+    distance from their centroid (getNerfppNorm, dataset_readers.py:482-503
+    → scene/__init__.py:85 → create_from_pcd spatial_lr_scale)."""
+    centers = np.asarray(centers, dtype=np.float64)
     center = centers.mean(axis=0, keepdims=True)
     diagonal = np.linalg.norm(centers - center, axis=1).max()
     return float(diagonal * 1.1)
+
+
+def cameras_extent(cameras: Camera) -> float:
+    """``extent_from_centers`` of a camera batch's centers."""
+    return extent_from_centers(cameras.cam_center)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -312,7 +317,8 @@ class SceneTrainer:
         self._pallas_win = self._window_config() if renderer == "pallas" \
             else None
         (self._prepare, self._segment, self._prepare_b, self._segment_b,
-         self._run_full, self._run_full_b) = self._build_run()
+         self._run_full, self._run_full_b,
+         self._run_chain) = self._build_run()
 
     def _window_config(self):
         """Static window-tier cascade for the windowed Pallas kernel:
@@ -641,32 +647,53 @@ class SceneTrainer:
                                     jnp.asarray(0, jnp.int32), self.n_macro)
             return carry, recs, jnp.max(recs[3], axis=1)
 
+        def run_chain(initial_g, poses_2d_g, cams_g, drop_g, gt_g,
+                      extent_g, hist8):
+            """G scenes SEQUENTIALLY in ONE program: a lax.scan of
+            run_full over the leading scene axis, threading the
+            cross-scene OptEarlyStopping window (hist8, train.py:64)
+            between scenes exactly like the per-scene dispatch loop —
+            unlike the vmapped run_full_b, which starts a fresh window
+            per scene. Device time is the same serial sum; what a chain
+            saves is the per-scene program-dispatch RPC (~3 ms through
+            remote tunnels), and it keeps PER-SCENE window-tier
+            selection (the batched path's tier switch needs all scenes
+            to fit one tier). Returns stacked (params, recs, stopped_at)
+            plus the final hist8 for the next group's seed."""
+            def body(h8, xs):
+                init_s, p2d_s, cams_s, drop_s, gt_s, ext_s = xs
+                carry, recs, stop_max = run_full(init_s, p2d_s, cams_s,
+                                                 drop_s, gt_s, ext_s, h8)
+                h8_next = carry[2] if use_stop else h8
+                return h8_next, (carry[0], recs, stop_max)
+
+            h8, (params_g, recs_g, stop_g) = jax.lax.scan(
+                body, hist8,
+                (initial_g, poses_2d_g, cams_g, drop_g, gt_g, extent_g))
+            return params_g, recs_g, stop_g, h8
+
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
                 jax.jit(segment_b, static_argnums=(7,)),
-                jax.jit(run_full), jax.jit(run_full_b))
+                jax.jit(run_full), jax.jit(run_full_b),
+                jax.jit(run_chain))
 
     # ------------------------------------------------------------------
-    def optimize_scene(self, initial_pose, poses_2d, cameras: Camera,
-                       pose_3d_gt=None, drop_key=None, drop_mask=None,
-                       checkpoint_iterations=(), checkpoint_fn=None,
-                       hist8_init=None):
-        """Run the full optimization for one scene.
+    def host_inputs(self, initial_pose, poses_2d, cameras: Camera,
+                    pose_3d_gt=None, drop_key=None, drop_mask=None):
+        """Host-side input normalization for one scene — everything
+        ``optimize_scene`` needs BEFORE the device transfer: dtype
+        coercions, noise injection (training.std_dev_noise, train.py:80-84,
+        per-scene seed-0 numpy RNG), the dropout mask and the camera
+        extent (computed on host — fetching a freshly device-put array
+        back costs a full device round-trip through an RPC tunnel).
 
-        initial_pose (N,3); poses_2d (V,N,2+); cameras batched over V;
-        pose_3d_gt (N,3) for telemetry (zeros if absent). Noise injection
-        (training.std_dev_noise, train.py:80-84) happens here, host-side,
-        with the reference's per-scene seed-0 numpy RNG.
-
-        ``checkpoint_iterations``: inner-iteration numbers (rounded down to
-        macro boundaries) at which ``checkpoint_fn(iteration, params)`` is
-        invoked with concrete parameters — the debug.save_iterations hook
-        (train.py:227-229). The scan is split into jit-cached segments at
-        those boundaries, so the default [iterations] case stays one fused
-        program.
-        """
-        from skelsplat_tpu.utils import put_trees
-
+        Returns the (initial_pose, poses_2d, cameras, pose_3d_gt,
+        drop_mask, extent) host tree. Callers sweeping many scenes pass a
+        LIST of these through one ``put_trees`` call (one packed H2D RPC
+        for the whole group) and hand each element back via
+        ``optimize_scene(..., inputs=...)`` — per-scene transfers were
+        ~4 ms/scene of exposed host time through the tunnel."""
         initial_pose = np.asarray(initial_pose, dtype=np.float32)
         if self.settings.std_dev_noise > 0.0:
             rng = np.random.default_rng(seed=0)  # reproducible (train.py:82)
@@ -685,20 +712,57 @@ class SceneTrainer:
             drop_mask = hm.dropout_masks(drop_key, nviews, n)  # on device
         else:
             drop_mask = np.zeros((nviews, n), dtype=bool)
-        # extent BEFORE the device put: cameras_extent pulls cam_center to
-        # the host, and fetching a freshly device-put array back costs a
-        # full device round-trip (~40 ms/frame through an RPC tunnel)
         extent = np.asarray(cameras_extent(cameras), np.float32)
         cameras = jax.tree.map(
             lambda x: x if isinstance(x, jax.Array) else np.asarray(x),
             cameras)   # device-resident camera leaves stay put
         pose_3d_gt = np.asarray(pose_3d_gt, dtype=np.float32)
+        return (initial_pose, poses_2d, cameras, pose_3d_gt, drop_mask,
+                extent)
 
-        # everything to the device in ONE packed transfer (leaf-by-leaf
-        # device_put costs an RPC dispatch per leaf through remote tunnels)
+    def _hist8_default(self):
+        """The +inf stopper-window init, cached per trainer (an eager
+        jnp.full is a device dispatch per call through remote tunnels)."""
+        hist8 = getattr(self, "_hist8_inf", None)
+        if hist8 is None:
+            hist8 = jnp.full((8,), jnp.inf, jnp.float32)
+            self._hist8_inf = hist8
+        return hist8
+
+    def optimize_scene(self, initial_pose, poses_2d, cameras: Camera = None,
+                       pose_3d_gt=None, drop_key=None, drop_mask=None,
+                       checkpoint_iterations=(), checkpoint_fn=None,
+                       hist8_init=None, inputs=None):
+        """Run the full optimization for one scene.
+
+        initial_pose (N,3); poses_2d (V,N,2+); cameras batched over V;
+        pose_3d_gt (N,3) for telemetry (zeros if absent). Noise injection
+        (training.std_dev_noise, train.py:80-84) happens host-side in
+        ``host_inputs``, with the reference's per-scene seed-0 numpy RNG.
+
+        ``inputs``: optional pre-transferred ``host_inputs`` tuple (see
+        there); when given, the positional data arguments are ignored and
+        no per-scene H2D transfer happens — the sweep drivers group many
+        scenes' inputs into one packed transfer.
+
+        ``checkpoint_iterations``: inner-iteration numbers (rounded down to
+        macro boundaries) at which ``checkpoint_fn(iteration, params)`` is
+        invoked with concrete parameters — the debug.save_iterations hook
+        (train.py:227-229). The scan is split into jit-cached segments at
+        those boundaries, so the default [iterations] case stays one fused
+        program.
+        """
+        from skelsplat_tpu.utils import put_trees
+
+        if inputs is None:
+            # everything to the device in ONE packed transfer (leaf-by-leaf
+            # device_put costs an RPC dispatch per leaf through remote
+            # tunnels)
+            inputs = put_trees(self.host_inputs(
+                initial_pose, poses_2d, cameras, pose_3d_gt,
+                drop_key=drop_key, drop_mask=drop_mask))
         (initial_pose, poses_2d, cameras, pose_3d_gt, drop_mask,
-         extent) = put_trees((initial_pose, poses_2d, cameras, pose_3d_gt,
-                              drop_mask, extent))
+         extent) = inputs
 
         use_stop = self.settings.early_stopping == "opt_early_stopping"
         accum = self.settings.accumulation_steps
@@ -714,9 +778,12 @@ class SceneTrainer:
             # program boundary costs an RPC round-trip through remote
             # tunnels). The hist8 arg is prepare's own +inf init when no
             # cross-scene window is carried, so results are identical.
-            hist8 = (jnp.asarray(hist8_init, jnp.float32)
-                     if (use_stop and hist8_init is not None)
-                     else jnp.full((8,), jnp.inf, jnp.float32))
+            # (+inf default cached per trainer: an eager jnp.full is a
+            # device dispatch per scene)
+            if use_stop and hist8_init is not None:
+                hist8 = jnp.asarray(hist8_init, jnp.float32)
+            else:
+                hist8 = self._hist8_default()
             carry, recs, stop_max = self._run_full(
                 initial_pose, poses_2d, cameras, drop_mask, pose_3d_gt,
                 extent, hist8)
@@ -763,6 +830,47 @@ class SceneTrainer:
         return params, history
 
     # ------------------------------------------------------------------
+    def optimize_scene_chain(self, host_inputs_list, hist8_init=None):
+        """Run G scenes through ONE chained program dispatch.
+
+        ``host_inputs_list``: list of ``host_inputs`` tuples sharing
+        (V, N) shapes. The scenes run SEQUENTIALLY on device (lax.scan of
+        the per-scene program over the group), threading the cross-scene
+        OptEarlyStopping window between them — the per-scene dispatch
+        loop's exact semantics (train.py:64), unlike
+        ``optimize_scene_batch``'s fresh per-scene windows — while paying
+        one program-dispatch RPC and one packed H2D transfer for the
+        whole group. Mid-run checkpoint_iterations / per-scene debug
+        hooks stay per-scene-path features (callers fall back).
+
+        Returns ``(params_g, history_g)`` with a leading scene axis on
+        every leaf; ``history_g.hist8`` is the final stopper window (seed
+        the next group's call), ``history_g.stopped_at`` is (G,).
+        """
+        from skelsplat_tpu.utils import put_trees
+
+        use_stop = self.settings.early_stopping == "opt_early_stopping"
+
+        def _stack(*xs):
+            if isinstance(xs[0], jax.Array):
+                return jnp.stack(xs)
+            return np.stack([np.asarray(x) for x in xs])
+
+        stacked = jax.tree.map(_stack, *host_inputs_list)
+        (initial_g, poses_2d_g, cams_g, gt_g, drop_g,
+         extent_g) = put_trees(stacked)
+        if use_stop and hist8_init is not None:
+            hist8 = jnp.asarray(hist8_init, jnp.float32)
+        else:
+            hist8 = self._hist8_default()
+        params_g, recs_g, stop_g, h8 = self._run_chain(
+            initial_g, poses_2d_g, cams_g, drop_g, gt_g, extent_g, hist8)
+        losses_k, err_k, err_rel_k, _ = recs_g
+        return params_g, MacroHistory(
+            losses=losses_k, error=err_k, error_rel=err_rel_k,
+            stopped_at=stop_g, hist8=h8 if use_stop else None)
+
+    # ------------------------------------------------------------------
     def optimize_scene_batch(self, initial_b, poses_2d_b, cameras_b: Camera,
                              pose_3d_gt_b=None):
         """Batched twin of optimize_scene: vmaps the whole optimization over
@@ -776,24 +884,31 @@ class SceneTrainer:
         cameras_b: Camera pytree with leading (B, V) axes. Returns
         (params with leading B, MacroHistory with leading B).
         """
-        initial_b = jnp.asarray(np.asarray(initial_b, dtype=np.float32))
-        poses_2d_b = jnp.asarray(
-            np.asarray(poses_2d_b)[..., :2], dtype=jnp.float32)
+        from skelsplat_tpu.utils import put_trees
+
+        initial_b = np.asarray(initial_b, dtype=np.float32)
+        poses_2d_b = np.ascontiguousarray(
+            np.asarray(poses_2d_b)[..., :2], dtype=np.float32)
         B, nviews, n = poses_2d_b.shape[:3]
         if pose_3d_gt_b is None:
-            pose_3d_gt_b = jnp.zeros_like(initial_b)
+            pose_3d_gt_b = np.zeros_like(initial_b)
         else:
-            pose_3d_gt_b = jnp.asarray(
-                np.asarray(pose_3d_gt_b, dtype=np.float32))
-        cams_np = jax.tree.map(np.asarray, cameras_b)  # extent on host,
-        # BEFORE the device put (see optimize_scene)
-        extent_b = jnp.asarray(
-            [cameras_extent(jax.tree.map(lambda x: x[b], cams_np))
-             for b in range(B)], jnp.float32)
-        cameras_b = jax.tree.map(jnp.asarray, cameras_b)
-        drop_b = jnp.zeros((B, nviews, n), dtype=bool)
+            pose_3d_gt_b = np.asarray(pose_3d_gt_b, dtype=np.float32)
+        cams_np = jax.tree.map(
+            lambda x: x if isinstance(x, jax.Array) else np.asarray(x),
+            cameras_b)
+        # extent on host BEFORE the put (see host_inputs); one host copy of
+        # cam_center covers all B scenes
+        centers = np.asarray(cams_np.cam_center)
+        extent_b = np.asarray(
+            [extent_from_centers(centers[b]) for b in range(B)], np.float32)
+        drop_b = np.zeros((B, nviews, n), dtype=bool)
+        hist8_b = np.full((B, 8), np.inf, np.float32)
 
-        hist8_b = jnp.full((B, 8), jnp.inf, jnp.float32)
+        # ONE packed H2D transfer for the whole batch (see host_inputs)
+        (initial_b, poses_2d_b, cameras_b, pose_3d_gt_b, extent_b, drop_b,
+         hist8_b) = put_trees((initial_b, poses_2d_b, cams_np, pose_3d_gt_b,
+                               extent_b, drop_b, hist8_b))
         carry, recs, stop_b = self._run_full_b(
             initial_b, poses_2d_b, cameras_b, drop_b, pose_3d_gt_b,
             extent_b, hist8_b)

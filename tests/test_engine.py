@@ -262,6 +262,60 @@ def test_batched_scene_trainer_matches_single(scene):
                                    rtol=3e-7, atol=1e-9)
 
 
+def test_grouped_inputs_path_matches_direct(scene):
+    """The sweep drivers pre-transfer several scenes' inputs in ONE packed
+    put (host_inputs + put_trees) and dispatch with optimize_scene(...,
+    inputs=...); results must be bitwise the direct path's — the program
+    dispatched is identical, only the transfer batching differs."""
+    from skelsplat_tpu.utils import put_trees
+
+    cams, gt, p2d, init = scene
+    rng = np.random.default_rng(5)
+    init2 = (init + rng.normal(0, 25, init.shape)).astype(np.float32)
+    tr = SceneTrainer(_model(), OptConfig(iterations=12), TrainSettings(),
+                      W, H, renderer="fused")
+    dev_ins = put_trees([tr.host_inputs(i, p2d, cams, gt)
+                         for i in (init, init2)])
+    for i, dev_in in zip((init, init2), dev_ins):
+        pg, hg = tr.optimize_scene(None, None, inputs=dev_in)
+        pd, hd = tr.optimize_scene(i, p2d, cams, gt)
+        np.testing.assert_array_equal(np.asarray(pg.xyz), np.asarray(pd.xyz))
+        np.testing.assert_array_equal(np.asarray(hg.losses),
+                                      np.asarray(hd.losses))
+
+
+@pytest.mark.parametrize("stopping", ["no_stopping", "opt_early_stopping"])
+def test_chained_scenes_match_serial(scene, stopping):
+    """optimize_scene_chain scans the per-scene program over the group and
+    threads the cross-scene stopper window (hist8) between scenes — results
+    must match the serial per-scene dispatch loop exactly, INCLUDING the
+    early-stopping carry the vmapped batch path cannot reproduce."""
+    cams, gt, p2d, init = scene
+    rng = np.random.default_rng(9)
+    inits = [init] + [(init + rng.normal(0, 30, init.shape))
+                      .astype(np.float32) for _ in range(2)]
+    tr = SceneTrainer(_model(), OptConfig(iterations=16),
+                      TrainSettings(early_stopping=stopping),
+                      W, H, renderer="fused")
+    pg, hg = tr.optimize_scene_chain(
+        [tr.host_inputs(i, p2d, cams, gt) for i in inits])
+    h8 = None
+    for s, i in enumerate(inits):
+        ps, hs = tr.optimize_scene(i, p2d, cams, gt, hist8_init=h8)
+        if hs.hist8 is not None:
+            h8 = hs.hist8
+        np.testing.assert_array_equal(np.asarray(pg.xyz[s]),
+                                      np.asarray(ps.xyz))
+        np.testing.assert_array_equal(np.asarray(hg.losses[s]),
+                                      np.asarray(hs.losses))
+        assert int(hg.stopped_at[s]) == int(hs.stopped_at)
+    if stopping == "opt_early_stopping":
+        np.testing.assert_array_equal(np.asarray(hg.hist8),
+                                      np.asarray(h8))
+    else:
+        assert hg.hist8 is None
+
+
 def _reference_loop_with_stop(cams, p2d, init, iters, opt_cfg, model,
                               tol=1e-6):
     """_reference_loop + the literal OptEarlyStopping / mid-macro stop

@@ -320,3 +320,51 @@ def test_fetch_grouping_matches_serial(synth, tmp_path_factory):
         assert g["abs_error"] == s["abs_error"]
         assert g["rel_error"] == s["rel_error"]
         assert g["stopped_at"] == s["stopped_at"]
+
+
+def test_chained_sweep_matches_serial(synth, tmp_path_factory):
+    """With debug.save_images off and final-only save_iterations, the
+    driver CHAINS each put-group into one program (optimize_scene_chain).
+    Scene errors, stop iterations and saved PLYs must match the strictly
+    serial per-scene run — including the cross-scene hist8 stopper window
+    that same-chip batching cannot preserve (driver.py chain comment)."""
+    import train as train_cli
+    from skelsplat_tpu.config import DEFAULT_CONFIG_DIR
+
+    def run(tag, overrides):
+        exp = tmp_path_factory.mktemp(tag)
+        cfgdir = tmp_path_factory.mktemp(tag + "cfg")
+        with open(os.path.join(DEFAULT_CONFIG_DIR, "h36m.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        cfg["dataset"]["data_root"] = synth
+        cfg["dataset"]["end_scene_id"] = 8
+        cfg["optimization"]["iterations"] = 40
+        cfg["debug"]["save_iterations"] = [40]
+        cfg["debug"]["save_images"] = False
+        cfg["training"]["early_stopping"] = "opt_early_stopping"
+        cfg["hydra"]["run"]["dir"] = str(exp / "run")
+        for k, v in overrides.items():
+            cfg["training"][k] = v
+        path = cfgdir / "cfg.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        train_cli.main(["--config-name", str(path)])
+        run_dir = str(exp / "run")
+        summary = json.load(open(os.path.join(run_dir,
+                                              "train_summary.json")))
+        return summary["scenes"], run_dir
+
+    chained, cdir = run("chn", {"fetch_scenes": 3})
+    serial, sdir = run("srl", {"pipeline_scenes": False})
+    assert len(chained) == len(serial) == 8
+    for c, s in zip(chained, serial):
+        assert c["scene_name"] == s["scene_name"]
+        assert c["abs_error"] == s["abs_error"]
+        assert c["rel_error"] == s["rel_error"]
+        assert c["stopped_at"] == s["stopped_at"]
+        it = c["stopped_at"] or 40
+        ply_rel = os.path.join("point_cloud", f"iteration_{it}",
+                               c["scene_name"] + ".ply")
+        with open(os.path.join(cdir, ply_rel), "rb") as f1, \
+                open(os.path.join(sdir, ply_rel), "rb") as f2:
+            assert f1.read() == f2.read()   # saved checkpoints bitwise
