@@ -114,15 +114,18 @@ def main(argv=None):
     for sz in sorted(sizes):
         warm = trainer.optimize_scene_chain(
             [trainer.host_inputs(init[1], p2d[1], cams_b, gt[1])
-             for _ in range(sz)])
+             for _ in range(sz)], lean=True)
     fetch_trees(warm)
     t0 = time.perf_counter()
     fetched, pending = [], []
     for g0 in range(1, n, group):
         batch = range(g0, min(g0 + group, n))
+        # lean=True: reduce telemetry to its last row on-device — what the
+        # production sweep fetches when TB logging is off (the full (K, ·)
+        # history is ~19 KB/scene and the tunnel fetch is bandwidth-bound)
         pending.append(trainer.optimize_scene_chain(
             [trainer.host_inputs(init[s], p2d[s], cams_b, gt[s])
-             for s in batch]))
+             for s in batch], lean=True))
         if len(pending) > 1:   # fetch lags one group behind the dispatch
             fetched.append(fetch_trees(pending.pop(0)))
     fetched += [fetch_trees(job) for job in pending]

@@ -390,7 +390,11 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                 and all(p[2] is tr0 and sig(p[3]) == sig(hin0)
                         for p in prep_buf[1:])):
             params_g, history_g = tr0.optimize_scene_chain(
-                [p[3] for p in prep_buf], hist8_init=hist8_carry)
+                [p[3] for p in prep_buf], hist8_init=hist8_carry,
+                # TB off → only the LAST telemetry row is ever read
+                # (_finalize's err[-1]); reduce it on-device so the
+                # result fetch ships ~0.3 KB/scene instead of ~19
+                lean=tb_writer is None)
             if history_g.hist8 is not None:
                 hist8_carry = history_g.hist8   # device array: no sync
             scenes_dispatched += len(prep_buf)

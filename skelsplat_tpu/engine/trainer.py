@@ -318,7 +318,7 @@ class SceneTrainer:
             else None
         (self._prepare, self._segment, self._prepare_b, self._segment_b,
          self._run_full, self._run_full_b,
-         self._run_chain) = self._build_run()
+         self._run_chain, self._run_chain_lean) = self._build_run()
 
     def _window_config(self):
         """Static window-tier cascade for the windowed Pallas kernel:
@@ -647,8 +647,7 @@ class SceneTrainer:
                                     jnp.asarray(0, jnp.int32), self.n_macro)
             return carry, recs, jnp.max(recs[3], axis=1)
 
-        def run_chain(initial_g, poses_2d_g, cams_g, drop_g, gt_g,
-                      extent_g, hist8):
+        def make_run_chain(lean: bool):
             """G scenes SEQUENTIALLY in ONE program: a lax.scan of
             run_full over the leading scene axis, threading the
             cross-scene OptEarlyStopping window (hist8, train.py:64)
@@ -659,24 +658,38 @@ class SceneTrainer:
             remote tunnels), and it keeps PER-SCENE window-tier
             selection (the batched path's tier switch needs all scenes
             to fit one tier). Returns stacked (params, recs, stopped_at)
-            plus the final hist8 for the next group's seed."""
+            plus the final hist8 for the next group's seed.
+
+            ``lean``: reduce the per-macro telemetry to its LAST row
+            on-device (K=1). The driver reads only that row when TB
+            logging is off, and the full (K, ·) history dominates the
+            result fetch through remote tunnels (~19 KB/scene vs ~0.3:
+            the fetch is bandwidth-, not just latency-, bound). Params,
+            stopped_at and hist8 are untouched — the last telemetry row
+            is bitwise the full variant's."""
             def body(h8, xs):
                 init_s, p2d_s, cams_s, drop_s, gt_s, ext_s = xs
                 carry, recs, stop_max = run_full(init_s, p2d_s, cams_s,
                                                  drop_s, gt_s, ext_s, h8)
+                if lean:
+                    recs = jax.tree.map(lambda x: x[-1:], recs)
                 h8_next = carry[2] if use_stop else h8
                 return h8_next, (carry[0], recs, stop_max)
 
-            h8, (params_g, recs_g, stop_g) = jax.lax.scan(
-                body, hist8,
-                (initial_g, poses_2d_g, cams_g, drop_g, gt_g, extent_g))
-            return params_g, recs_g, stop_g, h8
+            def run_chain(initial_g, poses_2d_g, cams_g, drop_g, gt_g,
+                          extent_g, hist8):
+                h8, (params_g, recs_g, stop_g) = jax.lax.scan(
+                    body, hist8,
+                    (initial_g, poses_2d_g, cams_g, drop_g, gt_g, extent_g))
+                return params_g, recs_g, stop_g, h8
+
+            return run_chain
 
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
                 jax.jit(segment_b, static_argnums=(7,)),
                 jax.jit(run_full), jax.jit(run_full_b),
-                jax.jit(run_chain))
+                jax.jit(make_run_chain(False)), jax.jit(make_run_chain(True)))
 
     # ------------------------------------------------------------------
     def host_inputs(self, initial_pose, poses_2d, cameras: Camera,
@@ -830,7 +843,8 @@ class SceneTrainer:
         return params, history
 
     # ------------------------------------------------------------------
-    def optimize_scene_chain(self, host_inputs_list, hist8_init=None):
+    def optimize_scene_chain(self, host_inputs_list, hist8_init=None,
+                             lean=False):
         """Run G scenes through ONE chained program dispatch.
 
         ``host_inputs_list``: list of ``host_inputs`` tuples sharing
@@ -846,6 +860,11 @@ class SceneTrainer:
         Returns ``(params_g, history_g)`` with a leading scene axis on
         every leaf; ``history_g.hist8`` is the final stopper window (seed
         the next group's call), ``history_g.stopped_at`` is (G,).
+
+        ``lean=True`` keeps only the LAST telemetry row per scene
+        (K=1 on losses/error/error_rel, bitwise the full history's
+        final row) — a ~60× smaller result fetch for sweeps that log no
+        per-iteration scalars (the driver's TB-off path, bench.py).
         """
         from skelsplat_tpu.utils import put_trees
 
@@ -863,7 +882,8 @@ class SceneTrainer:
             hist8 = jnp.asarray(hist8_init, jnp.float32)
         else:
             hist8 = self._hist8_default()
-        params_g, recs_g, stop_g, h8 = self._run_chain(
+        run = self._run_chain_lean if lean else self._run_chain
+        params_g, recs_g, stop_g, h8 = run(
             initial_g, poses_2d_g, cams_g, drop_g, gt_g, extent_g, hist8)
         losses_k, err_k, err_rel_k, _ = recs_g
         return params_g, MacroHistory(

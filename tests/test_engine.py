@@ -315,6 +315,24 @@ def test_chained_scenes_match_serial(scene, stopping):
     else:
         assert hg.hist8 is None
 
+    # lean=True reduces telemetry to the LAST row on-device (what the
+    # TB-off driver sweep fetches) — params/stopped_at/hist8 and that
+    # row must be bitwise the full variant's
+    pl_, hl = tr.optimize_scene_chain(
+        [tr.host_inputs(i, p2d, cams, gt) for i in inits], lean=True)
+    np.testing.assert_array_equal(np.asarray(pl_.xyz), np.asarray(pg.xyz))
+    for lean_leaf, full_leaf in ((hl.losses, hg.losses),
+                                 (hl.error, hg.error),
+                                 (hl.error_rel, hg.error_rel)):
+        assert lean_leaf.shape[1] == 1
+        np.testing.assert_array_equal(np.asarray(lean_leaf[:, 0]),
+                                      np.asarray(full_leaf[:, -1]))
+    np.testing.assert_array_equal(np.asarray(hl.stopped_at),
+                                  np.asarray(hg.stopped_at))
+    if stopping == "opt_early_stopping":
+        np.testing.assert_array_equal(np.asarray(hl.hist8),
+                                      np.asarray(hg.hist8))
+
 
 def _reference_loop_with_stop(cams, p2d, init, iters, opt_cfg, model,
                               tol=1e-6):
