@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure same-chip scene batching at this "
                          "batch size (throughput mode)")
+    ap.add_argument("--group", type=int, default=8,
+                    help="scenes chained per program dispatch in the sweep "
+                         "(the driver's training.fetch_scenes)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed frame "
                          "into DIR (view with tensorboard/xprof)")
@@ -107,7 +110,7 @@ def main(argv=None):
     # Warm the chain program per group size first (one-off compiles).
     from skelsplat_tpu.utils import fetch_trees
 
-    group = 8
+    group = args.group
     gsz = min(group, n - 1)
     tail = (n - 1) % group
     sizes = {gsz} | ({tail} if tail else set())

@@ -197,14 +197,22 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
     """(N,3) activated scales + (N,4) quaternions → (N,6) packed covariance
     [xx,xy,xz,yy,yz,zz]. Σ = R·diag(s²)·Rᵀ, identically computed by
     forward.cu:114-150 (Mᵀ·M with M=S·R in glm) and
-    utils/general_utils.py:110-119 + gaussian_model.py:33-37 (L·Lᵀ, L=R·S)."""
+    utils/general_utils.py:110-119 + gaussian_model.py:33-37 (L·Lᵀ, L=R·S).
+
+    Computed in CLOSED FORM (σ_ab = Σ_k L[a,k]·L[b,k] expanded elementwise)
+    rather than a batched 3×3 matmul: on TPU a (V,N,3,3) dot_general is a
+    tiny MXU op with fixed launch overhead inside the per-macro scan —
+    elementwise products fuse into the surrounding XLA fusion for free,
+    and true-f32 elementwise math needs no precision=HIGHEST workaround."""
     R = quat_to_rotmat(quats)
     s = scale_modifier * scales
     L = R * s[..., None, :]        # R @ diag(s)
-    sigma = MM(L, jnp.swapaxes(L, -1, -2))
+    r0, r1, r2 = L[..., 0, :], L[..., 1, :], L[..., 2, :]
+    dot3 = lambda a, b: (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+                         + a[..., 2] * b[..., 2])
     return jnp.stack(
-        [sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-         sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
+        [dot3(r0, r0), dot3(r0, r1), dot3(r0, r2),
+         dot3(r1, r1), dot3(r1, r2), dot3(r2, r2)],
         axis=-1,
     )
 
@@ -219,18 +227,31 @@ def unpack_cov6(cov6: jnp.ndarray) -> jnp.ndarray:
     return rows.reshape(cov6.shape[:-1] + (3, 3))
 
 
+def _affine_rows(p: jnp.ndarray, M: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """(…,3) points through the first ``rows`` rows of a 4×4 matrix,
+    expanded elementwise (out[j] = Σ_k p[k]·M[j,k] + M[j,3]) instead of a
+    batched matvec: a (V,N,3)×(3,3) dot_general is a tiny fixed-overhead
+    MXU op inside the per-macro scan, while elementwise mul/adds fuse into
+    the neighboring XLA fusions — and true-f32 elementwise math needs no
+    precision=HIGHEST workaround."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack(
+        [x * M[j, 0] + y * M[j, 1] + z * M[j, 2] + M[j, 3]
+         for j in range(rows)], axis=-1)
+
+
 def view_transform_point(p: jnp.ndarray, view4: jnp.ndarray) -> jnp.ndarray:
     """World point(s) (…,3) through a 4×4 world→view matrix → camera coords.
     (auxiliary.h:71-79, transformPoint4x3; ``view4`` is the plain math matrix,
     not the transposed torch storage)."""
-    return MM(p, view4[:3, :3].T) + view4[:3, 3]
+    return _affine_rows(p, view4, 3)
 
 
 def project_point_full(p: jnp.ndarray, full4: jnp.ndarray) -> jnp.ndarray:
     """World point(s) (…,3) through the full 4×4 projection (P·W2V) → NDC,
     with the reference's 1e-7-regularized perspective divide
     (auxiliary.h:82-90 + forward.cu:197-199)."""
-    hom = MM(p, full4[:, :3].T) + full4[:, 3]
+    hom = _affine_rows(p, full4, 4)
     w = 1.0 / (hom[..., 3:4] + 1.0e-7)
     return hom[..., :3] * w
 
@@ -277,11 +298,29 @@ def ewa_cov2d_render(mean3d: jnp.ndarray, cov6: jnp.ndarray, view4: jnp.ndarray,
     """
     t = view_transform_point(mean3d, view4)
     t = _clamped_view_point(t, tan_fovx, tan_fovy)
-    J = _proj_jacobian(t, focal_x, focal_y)
-    B = MM(J, view4[:3, :3])
-    Vrk = unpack_cov6(cov6)
-    cov = MM(MM(B, Vrk), jnp.swapaxes(B, -1, -2))
-    return jnp.stack([cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=-1)
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    # Closed-form expansion of cov2d = B Σ Bᵀ with B = J·W: J's two live
+    # rows are (fx/tz, 0, −fx·tx/tz²) and (0, fy/tz, −fy·ty/tz²), so
+    # b0 = (fx/tz)·W[0,:] − (fx·tx/tz²)·W[2,:] (likewise b1) and the three
+    # needed entries are quadratic forms bᵢᵀ Σ bⱼ — all elementwise over
+    # the (V,N) batch, fusing into one XLA kernel instead of three tiny
+    # fixed-overhead (V,N,3,3) MXU dots per macro step (and true-f32
+    # elementwise math needs no precision=HIGHEST workaround).
+    W = view4[:3, :3]
+    s0, s2 = focal_x / tz, focal_y / tz
+    s1 = -(focal_x * tx) / (tz * tz)
+    s3 = -(focal_y * ty) / (tz * tz)
+    b0 = [s0 * W[0, k] + s1 * W[2, k] for k in range(3)]
+    b1 = [s2 * W[1, k] + s3 * W[2, k] for k in range(3)]
+    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+
+    def quad(u, v):
+        return (u[0] * v[0] * xx + u[1] * v[1] * yy + u[2] * v[2] * zz
+                + (u[0] * v[1] + u[1] * v[0]) * xy
+                + (u[0] * v[2] + u[2] * v[0]) * xz
+                + (u[1] * v[2] + u[2] * v[1]) * yz)
+
+    return jnp.stack([quad(b0, b0), quad(b0, b1), quad(b1, b1)], axis=-1)
 
 
 def ewa_cov2d_heatmap(mean3d: jnp.ndarray, cov6: jnp.ndarray, view4: jnp.ndarray,

@@ -380,18 +380,39 @@ class SceneTrainer:
             # spans of the three dataset scales: H36M bodies ≤ ~384×640
             # with slot spans ≤ ~200, OP ≤ ~512×640, Panoptic ≤ ~768×1024
             # with slot spans ≤ ~280.
-            # Keep the cascade SHALLOW: measured live, per-tier fit math +
-            # a deeper switch cost more than tighter windows saved (a
-            # forced single tier beat a 6-tier cascade on its own frames).
-            # Tier 0 covers H36M/OP-scale bodies (≤ ~500×640, slot spans
-            # ≤ ~256); tiers 1-2 the Panoptic scale (some frames need >800
-            # rows — without tier 2 they fell to the full frame at ~5x
-            # cost); tier 3 is the unsliced safety net for macro steps
-            # whose slot spans outgrow slot_w before the full-frame
-            # fallback. Heights are 256-multiples so the 64/128-row bands
-            # divide them (960 replaced the original 928 for this).
-            sizes = [(512, 640, 256, None), (768, 1024, 384, None),
-                     (960, 1152, 384, None), (960, 1152, None, None)]
+            # Keep the cascade SHALLOW and SCALE-AWARE: each extra switch
+            # branch costs ~10 µs/macro of conditional-dispatch overhead
+            # on EVERY macro step, so a tier earns its slot only when this
+            # frame scale's bodies actually outgrow the tiers below it
+            # (measured live, round 3: H36M 1-tier 0.0223 vs 4-tier
+            # 0.0265 s/frame; OP 2-tier 0.0231 vs 1-tier 0.0299 — OP
+            # bodies DO outgrow tier 0; Panoptic needs the full cascade,
+            # 1-tier 0.113 vs 4-tier 0.0343). The full-frame fallback
+            # keeps every choice exact; the env override covers other
+            # body-size distributions. Heights are 256-multiples so the
+            # 64/128-row bands divide them.
+            # Tier-0 width is 768 (not the ~640 the bodies need): the
+            # window column origin snaps DOWN to a 128-lane boundary, so
+            # a w-wide bbox can need up to w+127 columns — at 640 the
+            # straddling frames fell through (to the full frame on the
+            # 1-tier cascade: measured 0.048 vs 0.0174 s/frame batch-8;
+            # the batched path is worst hit because ONE straddler drags
+            # the whole batch). The extra 128 columns only widen the thin
+            # (rows, win_w) chain ops — per-slot work stays slot_w-wide.
+            if H_pad <= 1024 and W_pad <= 1024:
+                # H36M class: bodies fit tier 0; mid tiers are ≥75% of
+                # the frame here and pure switch-depth overhead
+                sizes = [(512, 768, 256, None)]
+            elif H_pad * W_pad <= 1280 * 768:
+                # Occlusion-Person class (wide ~720p frames)
+                sizes = [(512, 768, 256, None), (768, 1024, 384, None)]
+            else:
+                # Panoptic class and larger: tiers 1-2 catch the >640-row
+                # bodies (without tier 2 they fell to the full frame at
+                # ~5× cost); tier 3 is the unsliced safety net for macro
+                # steps whose slot spans outgrow slot_w
+                sizes = [(512, 768, 256, None), (768, 1024, 384, None),
+                         (960, 1152, 384, None), (960, 1152, None, None)]
         else:
             sizes = []
             for item in spec.split(","):

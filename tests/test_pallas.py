@@ -390,8 +390,10 @@ def test_window_config_auto_tier_rows(monkeypatch):
         vmem = 4 * (2 * 17 * rw * stack_w + 3 * rw * ww
                     + 1024 * 128 + 17 * 1024)
         assert vmem <= 13.5 * 2**20
-    # the H36M-scale tier runs 64-row bands (the round-3 continuation win)
-    assert wins[0][:2] == (512, 640) and wins[0][3] == 64
+    # the H36M-scale tier runs 64-row bands (the round-3 continuation win);
+    # width 768 absorbs the ≤127-column alignment straddle of ~640-wide
+    # bodies (the column origin snaps down to a 128-lane boundary)
+    assert wins[0][:2] == (512, 768) and wins[0][3] == 64
 
     # Panoptic at 19 joints: every tier's choice also satisfies the
     # budget with ITS full profile sizes (1088x128 p1, 19x1920 p2)
