@@ -30,9 +30,9 @@ REF_SECONDS_PER_FRAME = 2.5
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=16,
+    ap.add_argument("--frames", type=int, default=32,
                     help="timed frames (after 1 compile/warmup frame) — "
-                         "two chained groups of 8, so the steady-state "
+                         "two chained groups of 16, so the steady-state "
                          "fetch/execution overlap is actually exercised")
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--small", action="store_true",
@@ -44,9 +44,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure same-chip scene batching at this "
                          "batch size (throughput mode)")
-    ap.add_argument("--group", type=int, default=8,
+    ap.add_argument("--group", type=int, default=16,
                     help="scenes chained per program dispatch in the sweep "
-                         "(the driver's training.fetch_scenes)")
+                         "(the driver's training.fetch_scenes; 16 is the "
+                         "measured knee — 0.0214/0.0195/0.0187 s/frame at "
+                         "8/16/32)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed frame "
                          "into DIR (view with tensorboard/xprof)")
