@@ -71,25 +71,95 @@ def device_events(events):
     return out
 
 
-def summarize(events, top: int = 30, macros: int | None = None,
-              out=print):
-    per_op = collections.Counter()
-    counts = collections.Counter()
+def exclusive_times(events):
+    """Per-op EXCLUSIVE (self) durations via event containment.
+
+    Trace timelines nest (a while loop contains its body's fusions, a
+    conditional its branch ops), so summing raw durations double-counts
+    every level of the hierarchy. Per (pid, tid) lane, a sweep with a
+    containment stack subtracts each child's duration from its parent —
+    the flat-sum view made `cond` look like the whole macro step when
+    its self-cost (branch dispatch) was a tenth of it."""
+    lanes = collections.defaultdict(list)
     for ev in events:
-        per_op[ev["name"]] += ev.get("dur", 0)
-        counts[ev["name"]] += 1
+        lanes[(ev.get("pid"), ev.get("tid"))].append(ev)
+    self_time = collections.Counter()
+    counts = collections.Counter()
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (ts, dur, name)
+        for ev in evs:
+            ts, dur = ev["ts"], ev.get("dur", 0)
+            while stack and ts >= stack[-1][0] + stack[-1][1]:
+                stack.pop()
+            self_time[ev["name"]] += dur
+            counts[ev["name"]] += 1
+            if stack:
+                self_time[stack[-1][2]] -= dur
+            stack.append((ts, dur, ev["name"]))
+    return self_time, counts
+
+
+def hlo_source_map(hlo_path: str):
+    """op name → 'file:line' from an optimized-HLO text dump
+    (``jit(f).lower(...).compile().as_text()``) — attributes the tiny-op
+    soup to the python that emitted it."""
+    import re
+    pat = re.compile(
+        r'%([\w.\-]+) = .*?source_file="([^"]*)" source_line=(\d+)')
+    loc = {}
+    with open(hlo_path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                name, src, ln = m.groups()
+                loc[name] = f"{os.path.basename(src)}:{ln}"
+    return loc
+
+
+def summarize(events, top: int = 30, macros: int | None = None,
+              out=print, hlo: str | None = None):
+    # whole-module executions live on their own "XLA Modules" lane —
+    # report them as totals and keep them out of the op breakdown
+    # (they would double-count every op they contain)
+    modules = [e for e in events if "Modules" in e["_thread"]]
+    events = [e for e in events if "Modules" not in e["_thread"]]
+    for ev in sorted(modules, key=lambda e: -e.get("dur", 0))[:5]:
+        out(f"module {ev['name']}: {ev.get('dur', 0) / 1e3:.3f} ms"
+            + (f" ({ev.get('dur', 0) / macros:.1f} us/macro)"
+               if macros else ""))
+    per_op, counts = exclusive_times(events)
     total = sum(per_op.values())
-    out(f"{len(events)} device events, {total / 1e3:.3f} ms total")
+    loc = hlo_source_map(hlo) if hlo else {}
+    out(f"{len(events)} device events, {total / 1e3:.3f} ms exclusive")
     if macros:
         out(f"per-macro ({macros} steps): {total / macros:.1f} us")
-    out(f"{'op':<64} {'total ms':>9} {'n':>6} {'us/call':>8}"
-        + (f" {'us/macro':>9}" if macros else ""))
+    out(f"{'op':<48} {'self ms':>9} {'n':>6} {'us/call':>8}"
+        + (f" {'us/macro':>9}" if macros else "")
+        + ("  source" if loc else ""))
     for name, dur in per_op.most_common(top):
-        row = (f"{name[:64]:<64} {dur / 1e3:>9.3f} {counts[name]:>6} "
-               f"{dur / counts[name]:>8.1f}")
+        row = (f"{name[:48]:<48} {dur / 1e3:>9.3f} {counts[name]:>6} "
+               f"{dur / max(counts[name], 1):>8.1f}")
         if macros:
             row += f" {dur / macros:>9.2f}"
+        if loc:
+            row += f"  {loc.get(name, '')}"
         out(row)
+    if loc:
+        by_src = collections.Counter()
+        n_src = collections.Counter()
+        for name, dur in per_op.items():
+            src = loc.get(name, "<unattributed>")
+            by_src[src] += dur
+            n_src[src] += 1
+        out("")
+        out(f"{'source line':<44} {'self ms':>9} {'#ops':>5}"
+            + (f" {'us/macro':>9}" if macros else ""))
+        for src, dur in by_src.most_common(top):
+            row = f"{src:<44} {dur / 1e3:>9.3f} {n_src[src]:>5}"
+            if macros:
+                row += f" {dur / macros:>9.2f}"
+            out(row)
     return per_op, counts
 
 
@@ -99,6 +169,11 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--macros", type=int, default=None,
                     help="divide totals by this macro-step count")
+    ap.add_argument("--hlo", default=None, metavar="HLO_TXT",
+                    help="optimized-HLO text dump of the profiled program "
+                         "(jit(f).lower(...).compile().as_text()): "
+                         "attributes ops to source file:line and adds a "
+                         "per-source-line rollup")
     args = ap.parse_args(argv)
     events = load_trace_events(args.profile_dir)
     dev = device_events(events)
@@ -109,7 +184,7 @@ def main(argv=None):
         for scope, n in scopes.most_common(20):
             print(f"  {n:>7}  {scope}")
         return
-    summarize(dev, top=args.top, macros=args.macros)
+    summarize(dev, top=args.top, macros=args.macros, hlo=args.hlo)
 
 
 if __name__ == "__main__":
