@@ -345,17 +345,20 @@ class SceneTrainer:
         the tier's row-band height)."""
         import os
 
-        from skelsplat_tpu.ops.pallas_raster import LANES, PACK, ROWS
+        from skelsplat_tpu.ops.pallas_raster import (LANES, ROWS,
+                                                     VMEM_BUDGET_BYTES,
+                                                     bwd_vmem_bytes)
         H_pad = -(-self.H // ROWS) * ROWS
         W_pad = -(-self.W // LANES) * LANES
         n = self.model.n_joints
 
         def tier_rows(wh, ww, sw):
             # largest 2^k·ROWS band that divides the window height and
-            # keeps the backward kernel's VMEM under budget: 2 α/T
-            # stacks (n, rows, stack_w) + 3 chains (rows, ww) + the
-            # FULL resident profiles (the kernel slices its own window
-            # since the in-kernel-windowing change). Budget 13.5 MiB of
+            # keeps the backward kernel's VMEM under budget, sized
+            # against the 2-stack (α/T) form — _run_bwd upgrades itself
+            # to the 4-stack ghat/E variant only when that ALSO fits, so
+            # this choice can never overflow (pallas_raster.bwd_vmem_bytes
+            # is the single source of the formula). Budget 13.5 MiB of
             # the 16 MiB scoped limit — the Panoptic unsliced tier at
             # 64 rows (~12.8 MiB) compiles and runs on-chip.
             # 2×ROWS is the measured sweet spot (8 < 16 < 32 < 64 in
@@ -364,9 +367,9 @@ class SceneTrainer:
             # per-program overhead) — the env override can force more.
             stack_w = sw or ww
             for r in (2 * ROWS, ROWS):
-                vmem = 4 * (2 * n * r * stack_w + 3 * r * ww
-                            + H_pad * LANES + n * W_pad + n * PACK)
-                if wh % r == 0 and vmem <= 13.5 * 2**20:
+                if wh % r == 0 and bwd_vmem_bytes(
+                        n, r, stack_w, ww, H_pad, W_pad,
+                        2) <= VMEM_BUDGET_BYTES:
                     return r
             return ROWS
 
@@ -407,12 +410,19 @@ class SceneTrainer:
                 # Occlusion-Person class (wide ~720p frames)
                 sizes = [(512, 768, 256, None), (768, 1024, 384, None)]
             else:
-                # Panoptic class and larger: tiers 1-2 catch the >640-row
-                # bodies (without tier 2 they fell to the full frame at
-                # ~5× cost); tier 3 is the unsliced safety net for macro
-                # steps whose slot spans outgrow slot_w
-                sizes = [(512, 768, 256, None), (768, 1024, 384, None),
-                         (960, 1152, 384, None), (960, 1152, None, None)]
+                # Panoptic class and larger. NO 512-row tier: the window
+                # must cover the GT supports too, which are body-sized
+                # and FIXED per scene — Panoptic bodies project ≥~700
+                # rows, so a small tier never fits and is pure switch
+                # overhead (measured init histogram over 32 synthetic
+                # scenes: 0 fit 512, 22 fit 832×1024, 9 need the tall
+                # tier, 1 straddled past 960 rows to the full frame at
+                # ~5× cost). Tier heights: 832 absorbs the ≤63-row band
+                # snap over ~768-row bodies; the catch-alls are FULL
+                # height (fit by height always), so only slot-span or
+                # width overflow ever reaches the full-frame fallback.
+                sizes = [(832, 1024, 384, None), (H_pad, 1152, 384, None),
+                         (H_pad, 1152, None, None)]
         else:
             sizes = []
             for item in spec.split(","):

@@ -234,25 +234,33 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
-def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
-                out_ref, dg_ref, T_ref, done_ref, al_ref, Ti_ref, sfx_ref):
+def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
+                p2_ref, offs_ref, out_ref, dg_ref, T_ref, done_ref, al_ref,
+                Ti_ref, sfx_ref, *gstack_refs):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
     per-slot (live-masked α, T before the slot) into VMEM scratch stacks;
-    pass 2 walks slots in reverse, recomputing the slot's render/GT/mask
-    from those stacks + the profiles (cheaper than a third stack: the
-    ∂S/∂contrib term is live-masked, and live ⇔ stored α > 0, with
-    contrib = α·T exactly), accumulating the suffix term and the per-slot
-    gradient partials (backward.cu:452-638's α-chain adjoint). Skipped
-    slots store zeros, so the suffix passes through them untouched. One
-    kernel per grad step replaces the fwd+bwd pair (the value_and_grad
-    path never runs _fwd_kernel at all).
+    pass 2 walks slots in reverse, accumulating the suffix term and the
+    per-slot gradient partials (backward.cu:452-638's α-chain adjoint).
+    Skipped slots store zeros, so the suffix passes through them
+    untouched. One kernel per grad step replaces the fwd+bwd pair (the
+    value_and_grad path never runs _fwd_kernel at all).
+
+    ``gstacks``: stash ∂S/∂render (ghat) and the Gaussian factor E in two
+    MORE scratch stacks during pass 1, so pass 2 skips the GT outer
+    product, render/mask reconstruction and the α/exp recompute entirely
+    — bitwise-neutral (the stored values are exactly what pass 2 would
+    recompute: r = clip(α·T) with the live-masked α equals pass 1's
+    clip(contrib)). The caller enables it whenever the 4-stack VMEM
+    budget holds (``_gstacks_fit``); wide unsliced tiers and the
+    full-frame fallback keep the 2-stack recompute form.
 
     With ``slot_w`` set, every per-slot vector op (both passes, including
-    the α/T stacks, sized (n, ROWS, slot_w)) runs over the slot's column
-    slice; the T/done/suffix chains stay full-width so cross-slot coupling
-    at shared pixels is preserved exactly."""
+    the scratch stacks, sized (n, ROWS, slot_w)) runs over the slot's
+    column slice; the T/done/suffix chains stay full-width so cross-slot
+    coupling at shared pixels is preserved exactly."""
+    gh_ref, E_ref = gstack_refs if gstacks else (None, None)
     rows, w_pad = T_ref.shape
     p2_w = p2_ref.shape[1]
     r_off = offs_ref[0, 0].astype(jnp.int32)
@@ -306,6 +314,10 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             # live-masked α: pass 2 recovers live = (stored α > 0)
             al_ref[i] = jnp.where(live, a_i, 0.0)
             Ti_ref[i] = T
+            if gstacks:
+                # exactly pass 2's recompute values, stored instead
+                gh_ref[i] = jnp.where(mask & live, _derr(d, l1), 0.0)
+                E_ref[i] = E
             done_ref[:, cols] = (done | (gate & (test < geometry.T_MIN)
                                          & (~done))).astype(jnp.float32)
             T_ref[:, cols] = jnp.where(live, test, T)
@@ -330,23 +342,31 @@ def _bwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             x_off = offs_ref[0, 1] + c0f
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
-            in_img = in_rows & (xs < g_ref[0, IDX_W])
             a_i = al_ref[i]
             live = a_i > 0.0
             T_i = Ti_ref[i]
-            # recompute ∂S/∂contrib from the stacks: contrib = α·T exactly
-            # (α is live-masked, so r and mask match pass 1 bit-for-bit)
-            r = jnp.clip(a_i * T_i, 0.0, 1.0)
-            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
-                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
-            mask = ((gt > 0.0) | (r > 0.0)) & in_img
-            ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
+            if gstacks:
+                ghat = gh_ref[i]
+                E = E_ref[i]
+                dx = g_ref[i, IDX_PX] - xs
+                dy = g_ref[i, IDX_PY] - ys
+            else:
+                in_img = in_rows & (xs < g_ref[0, IDX_W])
+                # recompute ∂S/∂contrib from the stacks: contrib = α·T
+                # exactly (α is live-masked, so r and mask match pass 1
+                # bit-for-bit)
+                r = jnp.clip(a_i * T_i, 0.0, 1.0)
+                gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                      * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
+                mask = ((gt > 0.0) | (r > 0.0)) & in_img
+                ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
+                # recompute E, dx, dy (cheaper than a third stack when
+                # VMEM is tight)
+                _, _, E, dx, dy, _ = _slot_alpha(g_ref, i, ys, xs,
+                                                 tile_x, tile_y)
             suffix = sfx_ref[:, cols]
             dalpha = jnp.where(
                 live, T_i * ghat - suffix / (1.0 - a_i), 0.0)
-            # recompute E, dx, dy (cheaper than storing them)
-            _, _, E, dx, dy, _ = _slot_alpha(g_ref, i, ys, xs,
-                                             tile_x, tile_y)
             # α = min(0.99, opa·E): the reference backward chains through
             # the clamp unconditionally (backward.cu:619 dL_dG=opa·dL_dα,
             # :635 dL_dopacity=G·dL_dα) — so dα/dpower is the UNCLAMPED
@@ -404,6 +424,22 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
     return out[0, 0], out[0, 1]
 
 
+VMEM_BUDGET_BYTES = int(13.5 * 2**20)  # of the ~16 MiB scoped limit
+
+
+def bwd_vmem_bytes(n: int, rows: int, stack_w: int, win_w: int,
+                   h_pad: int, w_pad: int, n_stacks: int) -> int:
+    """f32 VMEM bytes of the combined bwd kernel's resident state:
+    ``n_stacks`` per-slot (n, rows, stack_w) stacks + 3 (rows, win_w)
+    chains (T/done/suffix) + the FULL resident profiles + the SMEM-ish
+    pack. The trainer's tier_rows sizes row bands against the 2-stack
+    form; ``_run_bwd`` upgrades to 4 stacks (ghat/E, skipping pass 2's
+    recompute) only when this still fits, so the upgrade can never
+    break a tier the 2-stack budget admitted."""
+    return 4 * (n_stacks * n * rows * stack_w + 3 * rows * win_w
+                + h_pad * LANES + n * w_pad + n * PACK)
+
+
 def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
              win_shape=None):
     """Combined forward+backward pass: returns (S, C, dg)."""
@@ -413,8 +449,14 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
         else (p1.shape[0], p2.shape[1])
     n_prog = win_h // rows
     stack_w = win_w if (slot_w is None or slot_w >= win_w) else slot_w
+    force = _os.environ.get("SKELSPLAT_PALLAS_GHAT", "")
+    gstacks = (bwd_vmem_bytes(n, rows, stack_w, win_w, p1.shape[0],
+                              p2.shape[1], 4) <= VMEM_BUDGET_BYTES
+               if force == "" else force not in ("0", "off"))
+    stacks = [pltpu.VMEM((n, rows, stack_w), jnp.float32)] \
+        * (4 if gstacks else 2)
     out, dg = pl.pallas_call(
-        functools.partial(_bwd_kernel, n, l1, slot_w),
+        functools.partial(_bwd_kernel, n, l1, slot_w, gstacks),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -439,10 +481,10 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
         scratch_shapes=[
             pltpu.VMEM((rows, win_w), jnp.float32),      # T
             pltpu.VMEM((rows, win_w), jnp.float32),      # done mask
-            pltpu.VMEM((n, rows, stack_w), jnp.float32),  # live-α stack
-            pltpu.VMEM((n, rows, stack_w), jnp.float32),  # T stack
+            stacks[0],                                   # live-α stack
+            stacks[1],                                   # T stack
             pltpu.VMEM((rows, win_w), jnp.float32),      # suffix
-        ],
+        ] + ([stacks[2], stacks[3]] if gstacks else []),  # ghat, E
         interpret=interpret,
     )(gauss, p1, p2, offs)
     return out[0, 0], out[0, 1], dg.reshape(n, PACK)
