@@ -174,3 +174,49 @@ def test_anisotropy_analysis(rng):
             assert l1 >= l2 > 0
     aniso = analysis.anisotropy_per_joint(lam)
     assert all(a >= 1.0 for views in aniso.values() for a in views)
+
+
+def test_trace_summary_exclusive_times():
+    """exclusive_times subtracts nested children from their parents per
+    timeline lane (a flat sum double-counts every hierarchy level — the
+    profiler bug that made `cond` look like the whole macro step)."""
+    from skelsplat_tpu.tools.trace_summary import exclusive_times
+
+    # lane A: while [0,100) contains cond [10,40) contains fusion [15,25);
+    # a second cond [50,80) is a sibling. lane B: independent op [0,30).
+    mk = lambda name, ts, dur, tid: {"name": name, "ts": ts, "dur": dur,
+                                     "pid": 1, "tid": tid}
+    events = [
+        mk("while", 0, 100, 7),
+        mk("cond", 10, 30, 7),
+        mk("fusion", 15, 10, 7),
+        mk("cond", 50, 30, 7),
+        mk("other", 0, 30, 8),
+    ]
+    self_time, counts = exclusive_times(events)
+    assert self_time["while"] == 100 - 30 - 30
+    assert self_time["cond"] == (30 - 10) + 30
+    assert self_time["fusion"] == 10
+    assert self_time["other"] == 30
+    assert counts["cond"] == 2
+    # total exclusive time == wall coverage per lane (100 + 30)
+    assert sum(self_time.values()) == 130
+
+
+def test_trace_summary_hlo_source_map(tmp_path):
+    """hlo_source_map extracts op → file:line from an optimized-HLO text
+    dump's metadata clauses."""
+    from skelsplat_tpu.tools.trace_summary import hlo_source_map
+
+    hlo = tmp_path / "m.txt"
+    hlo.write_text(
+        '  %fusion.252 = f32[4,1024,128]{2,1,0} fusion(%a), kind=kOutput, '
+        'metadata={op_name="jit(f)/dot" source_file="/repo/a/trainer.py" '
+        'source_line=570 source_end_line=573}\n'
+        '  %add.1 = f32[2]{0} add(%x, %y), metadata={op_name="jit(f)/add" '
+        'source_file="/repo/ops/geometry.py" source_line=33}\n'
+        '  %no_meta = f32[2]{0} multiply(%x, %y)\n')
+    loc = hlo_source_map(str(hlo))
+    assert loc["fusion.252"] == "trainer.py:570"
+    assert loc["add.1"] == "geometry.py:33"
+    assert "no_meta" not in loc
