@@ -536,11 +536,59 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
     tests/test_engine.py::test_batched_scene_trainer_matches_single).
     Per-macro TB curves
     are logged from the batched history, so throughput mode keeps the
-    per-scene path's observability."""
+    per-scene path's observability.
+
+    Batches are PIPELINED like the per-scene sweep: one batch stays in
+    flight, and its packed result fetch (the ~12 ms-exposed tunnel
+    round-trip) overlaps the next batch's device execution. Per-scene
+    'seconds' therefore overlap; wall_clock_sweep_seconds in the summary
+    is the non-overlapping truth."""
     records = [rec for _, rec in dataset_loader]
     results = []
     trainers: dict[tuple, SceneTrainer] = {}
     total = 0.0
+    sweep_t0 = time.perf_counter()
+    pending = None  # (group, params_b, hist_b, t0)
+
+    def _finalize(group, params_b, hist_b, t0):
+        nonlocal total
+        params_b, hist_b = fetch_trees(params_b, hist_b)
+        dt = time.perf_counter() - t0
+        total += dt
+        for b, (rec, _) in enumerate(group):
+            # early-stopped scenes land in their stop-iteration dir
+            # (train.py:227-233); params froze at the stop step.
+            stop_b = int(np.asarray(hist_b.stopped_at)[b])
+            it_dir = stop_b if stop_b else opt_cfg.iterations
+            path = os.path.join(output_dir, "point_cloud",
+                                f"iteration_{it_dir}",
+                                f"{rec.scene_name}.ply")
+            ply.write_gaussian_ply(
+                path, np.asarray(params_b.xyz[b]),
+                np.asarray(params_b.log_scales[b]),
+                np.asarray(params_b.quats[b]),
+                np.asarray(params_b.opacity_logit[b]))
+            err = np.asarray(hist_b.error)[b, -1]
+            err_rel = np.asarray(hist_b.error_rel)[b, -1]
+            subject, activity, step = _parse_scene_name(
+                rec.scene_name, dataset.data_root)
+            if subject == "S9" and activity in S9_BAD:
+                err = np.zeros_like(err)
+            _log_tb_history(tb_writer, subject, activity, step,
+                            np.asarray(hist_b.losses)[b],
+                            np.asarray(hist_b.error)[b],
+                            np.asarray(hist_b.error_rel)[b],
+                            settings.accumulation_steps)
+            results.append({
+                "scene_id": rec.scene_id,
+                "scene_name": rec.scene_name,
+                "abs_error": float(err.mean()),
+                "rel_error": float(err_rel.mean()),
+                "seconds": dt / len(group),
+                "stopped_at": int(np.asarray(hist_b.stopped_at)[b]),
+            })
+        log.info(f"Batch of {len(group)} scenes: {dt:.2f}s "
+                 f"({dt / len(group):.3f} s/scene)")
 
     def shape_key(rec):
         cams = cameras_io.build_camera_batch(rec.cameras)
@@ -581,54 +629,26 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
         t0 = time.perf_counter()
         params_b, hist_b = trainer.optimize_scene_batch(
             init_b, p2d_b, cams_b, gt_b)
-        # fetch ONCE for the whole batch (timing through the fetch: on
-        # remote tunnels block_until_ready alone can return early, and the
-        # per-scene loop below must not refetch device arrays per scene)
-        params_b, hist_b = fetch_trees(params_b, hist_b)
-        dt = time.perf_counter() - t0
-        total += dt
+        # finalize the PREVIOUS batch now that this one is dispatched:
+        # its packed fetch (timing through the fetch — block_until_ready
+        # alone can return early on remote tunnels) overlaps this batch's
+        # device execution
+        if pending is not None:
+            _finalize(*pending)
+        pending = (group, params_b, hist_b, t0)
 
-        for b, (rec, _) in enumerate(group):
-            # early-stopped scenes land in their stop-iteration dir
-            # (train.py:227-233); params froze at the stop step.
-            stop_b = int(np.asarray(hist_b.stopped_at)[b])
-            it_dir = stop_b if stop_b else opt_cfg.iterations
-            path = os.path.join(output_dir, "point_cloud",
-                                f"iteration_{it_dir}",
-                                f"{rec.scene_name}.ply")
-            ply.write_gaussian_ply(
-                path, np.asarray(params_b.xyz[b]),
-                np.asarray(params_b.log_scales[b]),
-                np.asarray(params_b.quats[b]),
-                np.asarray(params_b.opacity_logit[b]))
-            err = np.asarray(hist_b.error)[b, -1]
-            err_rel = np.asarray(hist_b.error_rel)[b, -1]
-            subject, activity, step = _parse_scene_name(
-                rec.scene_name, dataset.data_root)
-            if subject == "S9" and activity in S9_BAD:
-                err = np.zeros_like(err)
-            _log_tb_history(tb_writer, subject, activity, step,
-                            np.asarray(hist_b.losses)[b],
-                            np.asarray(hist_b.error)[b],
-                            np.asarray(hist_b.error_rel)[b],
-                            settings.accumulation_steps)
-            results.append({
-                "scene_id": rec.scene_id,
-                "scene_name": rec.scene_name,
-                "abs_error": float(err.mean()),
-                "rel_error": float(err_rel.mean()),
-                "seconds": dt / len(group),
-                "stopped_at": int(np.asarray(hist_b.stopped_at)[b]),
-            })
-        log.info(f"Batch of {len(group)} scenes: {dt:.2f}s "
-                 f"({dt / len(group):.3f} s/scene)")
+    if pending is not None:
+        _finalize(*pending)
 
     n = max(len(results), 1)
+    wall = time.perf_counter() - sweep_t0
     log.info(f"Training completed. {len(results)} scenes, "
-             f"{total / n:.3f} s/scene mean")
+             f"{wall / n:.3f} s/scene mean (wall)")
     with open(os.path.join(output_dir, "train_summary.json"), "w") as f:
         json.dump({"scenes": results,
-                   "mean_seconds_per_scene": total / n}, f, indent=2)
+                   "mean_seconds_per_scene": total / n,
+                   "wall_clock_sweep_seconds": wall,
+                   "wall_seconds_per_scene": wall / n}, f, indent=2)
     print("Training completed.")
     return results
 

@@ -221,6 +221,37 @@ def test_scene_batch_with_early_stopping_falls_back(synth, tmp_path_factory):
         assert a["stopped_at"] == b["stopped_at"]
 
 
+def test_scene_batch_pipelined_matches_per_scene(synth, tmp_path_factory):
+    """The PIPELINED batched throughput path (training.scene_batch>1, no
+    stopping — one batch in flight, the packed fetch of batch k
+    overlapping batch k+1's execution) must produce the per-scene path's
+    results to f32-ulp level and every per-scene PLY, and record the
+    wall-clock sweep time."""
+    import train as train_cli
+
+    runs, dirs = {}, {}
+    for name, batch in [("b1", 1), ("b3", 3)]:
+        run_dir = str(tmp_path_factory.mktemp(f"pb_{name}"))
+        train_cli.main([
+            "--config-name", "h36m.yaml",
+            f"dataset.data_root={synth}", "dataset.end_scene_id=4",
+            "optimization.iterations=24", "debug.save_iterations=[24]",
+            "debug.save_images=false",
+            f"training.scene_batch={batch}",
+            f"hydra.run.dir={run_dir}"])
+        runs[name] = json.load(open(os.path.join(run_dir,
+                                                 "train_summary.json")))
+        dirs[name] = run_dir
+    assert "wall_clock_sweep_seconds" in runs["b3"]
+    assert len(runs["b3"]["scenes"]) == 4
+    for a, b in zip(runs["b1"]["scenes"], runs["b3"]["scenes"]):
+        assert a["scene_name"] == b["scene_name"]
+        assert abs(a["abs_error"] - b["abs_error"]) < 1e-3
+        ply_path = os.path.join(dirs["b3"], "point_cloud", "iteration_24",
+                                b["scene_name"] + ".ply")
+        assert os.path.exists(ply_path)
+
+
 def test_analyze_confidence_workflow(synth, runcfg):
     """python -m skelsplat_tpu.tools.analyze_confidence over a finished run
     dir: produces the info JSON (the reference script's missing producer),
