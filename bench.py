@@ -150,20 +150,30 @@ def main(argv=None):
     if args.batch > 1:
         B = args.batch
         initb, gtb, p2db, _ = _synthetic_inputs(B, W, H, n_joints=n_joints)
-        import jax.numpy as jnp
         import numpy as _np
         cams_bb = jax.tree.map(lambda x: _np.stack([_np.asarray(x)] * B),
                                cams_b)
-        for rep in range(2):
-            t0 = time.perf_counter()
-            pb, hb = trainer.optimize_scene_batch(initb, p2db, cams_bb, gtb)
-            xyz_b = np.asarray(pb.xyz)   # result roundtrip (see above)
-            dt = time.perf_counter() - t0
-            assert np.isfinite(xyz_b).all()
-            print(f"batch {B}: {dt:.3f}s total, {dt / B:.4f} s/frame"
-                  + ("  (compile+run)" if rep == 0 else ""),
-                  file=sys.stderr)
-        value = dt / B
+        # warm the compile, then time a PIPELINED 2-batch sweep — the
+        # production batched driver keeps one batch in flight (batch k's
+        # fetch overlaps batch k+1's execution, engine/driver.py
+        # _training_batched), so the steady-state number must too
+        pb, hb = trainer.optimize_scene_batch(initb, p2db, cams_bb, gtb,
+                                              lean=True)
+        # warm the packed-fetch program too (fetch_trees jit-packs per
+        # tree structure; compiling it inside the timed loop costs a
+        # remote-compile round-trip)
+        pb, hb = fetch_trees(pb, hb)
+        assert np.isfinite(np.asarray(pb.xyz)).all()
+        t0 = time.perf_counter()
+        jobs = [trainer.optimize_scene_batch(initb, p2db, cams_bb, gtb,
+                                             lean=True)
+                for _ in range(2)]
+        fetched = [fetch_trees(pb_, hb_) for pb_, hb_ in jobs]
+        dt = time.perf_counter() - t0
+        assert all(np.isfinite(pb_.xyz).all() for pb_, _ in fetched)
+        value = dt / (2 * B)
+        print(f"batch {B}: {dt:.3f}s for 2 pipelined batches, "
+              f"{value:.4f} s/frame", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"{args.preset}_frame_opt_seconds",

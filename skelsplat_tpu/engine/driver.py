@@ -628,7 +628,11 @@ def _training_batched(dataset, dataset_loader, model, opt_cfg, settings,
         _save_scene_artifacts(output_dir, group[-1][0])
         t0 = time.perf_counter()
         params_b, hist_b = trainer.optimize_scene_batch(
-            init_b, p2d_b, cams_b, gt_b)
+            init_b, p2d_b, cams_b, gt_b,
+            # TB off → only the LAST telemetry row is read; reduce it
+            # on-device so the batched fetch ships ~0.3 KB/scene (the
+            # (B, K, ·) history otherwise dominates the tunnel fetch)
+            lean=tb_writer is None)
         # finalize the PREVIOUS batch now that this one is dispatched:
         # its packed fetch (timing through the fetch — block_until_ready
         # alone can return early on remote tunnels) overlaps this batch's

@@ -317,7 +317,7 @@ class SceneTrainer:
         self._pallas_win = self._window_config() if renderer == "pallas" \
             else None
         (self._prepare, self._segment, self._prepare_b, self._segment_b,
-         self._run_full, self._run_full_b,
+         self._run_full, self._run_full_b, self._run_full_b_lean,
          self._run_chain, self._run_chain_lean) = self._build_run()
 
     def _window_config(self):
@@ -663,20 +663,30 @@ class SceneTrainer:
             # round-trip per scene through remote tunnels)
             return carry, recs, jnp.max(recs[3])
 
-        def run_full_b(initial_b, poses_2d_b, cams_b, drop_b, gt_b,
-                       extent_b, hist8_b):
+        def make_run_full_b(lean: bool):
             """Batched twin of run_full — ONE dispatch for the whole
             batch, and the same prepare+scan program structure as the
             per-scene fast path (keeping the two paths' XLA fusion
-            decisions, and therefore their results, aligned)."""
-            carry, view_aux = prepare_b(initial_b, poses_2d_b, cams_b,
-                                        drop_b)
-            if use_stop:
-                carry = (carry[0], carry[1], hist8_b) + carry[3:]
-            carry, recs = segment_b(carry, view_aux, poses_2d_b, cams_b,
-                                    gt_b, extent_b,
-                                    jnp.asarray(0, jnp.int32), self.n_macro)
-            return carry, recs, jnp.max(recs[3], axis=1)
+            decisions, and therefore their results, aligned). ``lean``
+            reduces telemetry to its last row on-device, exactly like
+            the chain's lean mode (the full (B, K, ·) history dominates
+            the batched result fetch through remote tunnels)."""
+            def run_full_b(initial_b, poses_2d_b, cams_b, drop_b, gt_b,
+                           extent_b, hist8_b):
+                carry, view_aux = prepare_b(initial_b, poses_2d_b, cams_b,
+                                            drop_b)
+                if use_stop:
+                    carry = (carry[0], carry[1], hist8_b) + carry[3:]
+                carry, recs = segment_b(carry, view_aux, poses_2d_b,
+                                        cams_b, gt_b, extent_b,
+                                        jnp.asarray(0, jnp.int32),
+                                        self.n_macro)
+                stop_b = jnp.max(recs[3], axis=1)
+                if lean:
+                    recs = jax.tree.map(lambda x: x[:, -1:], recs)
+                return carry, recs, stop_b
+
+            return run_full_b
 
         def make_run_chain(lean: bool):
             """G scenes SEQUENTIALLY in ONE program: a lax.scan of
@@ -719,8 +729,11 @@ class SceneTrainer:
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
                 jax.jit(segment_b, static_argnums=(7,)),
-                jax.jit(run_full), jax.jit(run_full_b),
-                jax.jit(make_run_chain(False)), jax.jit(make_run_chain(True)))
+                jax.jit(run_full),
+                jax.jit(make_run_full_b(False)),
+                jax.jit(make_run_full_b(True)),
+                jax.jit(make_run_chain(False)),
+                jax.jit(make_run_chain(True)))
 
     # ------------------------------------------------------------------
     def host_inputs(self, initial_pose, poses_2d, cameras: Camera,
@@ -923,7 +936,7 @@ class SceneTrainer:
 
     # ------------------------------------------------------------------
     def optimize_scene_batch(self, initial_b, poses_2d_b, cameras_b: Camera,
-                             pose_3d_gt_b=None):
+                             pose_3d_gt_b=None, lean=False):
         """Batched twin of optimize_scene: vmaps the whole optimization over
         a leading scene axis on ONE device. Scenes are fully independent
         (SURVEY §2.5), so batching them amortizes the per-macro-step fixed
@@ -934,6 +947,11 @@ class SceneTrainer:
 
         cameras_b: Camera pytree with leading (B, V) axes. Returns
         (params with leading B, MacroHistory with leading B).
+
+        ``lean=True`` keeps only the LAST telemetry row per scene (K=1,
+        bitwise the full history's final row) — the batched fetch is
+        otherwise dominated by the (B, K, ·) history through remote
+        tunnels (same knob as optimize_scene_chain's).
         """
         from skelsplat_tpu.utils import put_trees
 
@@ -960,7 +978,8 @@ class SceneTrainer:
         (initial_b, poses_2d_b, cameras_b, pose_3d_gt_b, extent_b, drop_b,
          hist8_b) = put_trees((initial_b, poses_2d_b, cams_np, pose_3d_gt_b,
                                extent_b, drop_b, hist8_b))
-        carry, recs, stop_b = self._run_full_b(
+        run = self._run_full_b_lean if lean else self._run_full_b
+        carry, recs, stop_b = run(
             initial_b, poses_2d_b, cameras_b, drop_b, pose_3d_gt_b,
             extent_b, hist8_b)
         losses_k, err_k, err_rel_k, _ = recs

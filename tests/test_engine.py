@@ -261,6 +261,18 @@ def test_batched_scene_trainer_matches_single(scene):
                                    np.asarray(h1.losses),
                                    rtol=3e-7, atol=1e-9)
 
+    # lean=True reduces telemetry to the LAST row on-device (the TB-off
+    # batched sweep's fetch) — params and that row bitwise the full run's
+    pl_, hl = tr.optimize_scene_batch(inits, p2ds, cams_b, gts, lean=True)
+    np.testing.assert_array_equal(np.asarray(pl_.xyz), np.asarray(pb.xyz))
+    assert hl.losses.shape[1] == 1
+    np.testing.assert_array_equal(np.asarray(hl.losses[:, 0]),
+                                  np.asarray(hb.losses[:, -1]))
+    np.testing.assert_array_equal(np.asarray(hl.error[:, 0]),
+                                  np.asarray(hb.error[:, -1]))
+    np.testing.assert_array_equal(np.asarray(hl.stopped_at),
+                                  np.asarray(hb.stopped_at))
+
 
 def test_grouped_inputs_path_matches_direct(scene):
     """The sweep drivers pre-transfer several scenes' inputs in ONE packed
