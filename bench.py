@@ -81,7 +81,8 @@ def main(argv=None):
     times = []
     for s in range(n):
         t0 = time.perf_counter()
-        params, hist = trainer.optimize_scene(init[s], p2d[s], cams_b, gt[s])
+        params, hist = trainer.optimize_scene(init[s], p2d[s], cams_b,
+                                              gt[s], lean=True)
         # fetch the result to the host: on remote-device tunnels
         # block_until_ready alone can return before the work is done, so a
         # benchmark must time through an actual result roundtrip (the sweep

@@ -180,7 +180,13 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     import skelsplat_tpu
     skelsplat_tpu.ensure_compile_cache()
 
-    tb_writer = _prepare_tb(output_dir)
+    # additive knob: +debug.tensorboard=false disables TB logging, which
+    # also lets the sweep fetch LEAN telemetry (only the last history row
+    # per scene — the (K, ·) history otherwise dominates the result fetch
+    # through remote tunnels). The reference logs TB whenever torch
+    # tensorboard imports (train.py:247-257) — same default here.
+    tb_writer = _prepare_tb(output_dir) \
+        if bool(getattr(debug, "tensorboard", True)) else None
     scene_type = scene_type_of(dataset.data_root)
     model = SkeletonModel(
         scene_type, dataset_loader.n_joints,
@@ -413,7 +419,10 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                     checkpoint_iterations=save_iterations,
                     checkpoint_fn=lambda it, prm, _ps=pending_saves:
                         _ps.append((it, prm)),
-                    hist8_init=hist8_carry)
+                    hist8_init=hist8_carry,
+                    # TB off → only the last telemetry row is read
+                    # (no-op on mid-checkpoint debug runs)
+                    lean=tb_writer is None)
                 if history.hist8 is not None:
                     hist8_carry = history.hist8   # device array: no sync
                 scenes_dispatched += 1

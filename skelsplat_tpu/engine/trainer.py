@@ -317,7 +317,8 @@ class SceneTrainer:
         self._pallas_win = self._window_config() if renderer == "pallas" \
             else None
         (self._prepare, self._segment, self._prepare_b, self._segment_b,
-         self._run_full, self._run_full_b, self._run_full_b_lean,
+         self._run_full, self._run_full_lean,
+         self._run_full_b, self._run_full_b_lean,
          self._run_chain, self._run_chain_lean) = self._build_run()
 
     def _window_config(self):
@@ -642,26 +643,37 @@ class SceneTrainer:
         segment_b = make_segment(self._pallas_win, batched=True)
         prepare_b = jax.vmap(prepare)
 
-        def run_full(initial_pose, poses_2d, cameras, drop_mask,
-                     pose_3d_gt, extent, hist8):
+        def make_run_full(lean: bool):
             """prepare + the whole scan in ONE program — the no-mid-
             checkpoint fast path. Through a remote-device tunnel each
             program dispatch costs an RPC round-trip (~3 ms); fusing the
             two halves removes one boundary per scene (~8% of the
             steady-state sweep). ``hist8`` seeds the cross-scene stopper
             window (pass the +inf default when there is no carry — it
-            equals prepare's own init)."""
-            carry, view_aux = prepare(initial_pose, poses_2d, cameras,
-                                      drop_mask)
-            if use_stop:
-                carry = (carry[0], carry[1], hist8) + carry[3:]
-            carry, recs = segment(carry, view_aux, poses_2d, cameras,
-                                  pose_3d_gt, extent,
-                                  jnp.asarray(0, jnp.int32), self.n_macro)
-            # reduce stopped_at INSIDE the program: a host-side jnp.max
-            # after the dispatch is an extra eager program (= one more RPC
-            # round-trip per scene through remote tunnels)
-            return carry, recs, jnp.max(recs[3])
+            equals prepare's own init). ``lean`` reduces telemetry to its
+            last row on-device (see the chain variant)."""
+            def run_full(initial_pose, poses_2d, cameras, drop_mask,
+                         pose_3d_gt, extent, hist8):
+                carry, view_aux = prepare(initial_pose, poses_2d, cameras,
+                                          drop_mask)
+                if use_stop:
+                    carry = (carry[0], carry[1], hist8) + carry[3:]
+                carry, recs = segment(carry, view_aux, poses_2d, cameras,
+                                      pose_3d_gt, extent,
+                                      jnp.asarray(0, jnp.int32),
+                                      self.n_macro)
+                # reduce stopped_at INSIDE the program: a host-side
+                # jnp.max after the dispatch is an extra eager program
+                # (= one more RPC round-trip per scene through remote
+                # tunnels)
+                stop_max = jnp.max(recs[3])
+                if lean:
+                    recs = jax.tree.map(lambda x: x[-1:], recs)
+                return carry, recs, stop_max
+
+            return run_full
+
+        run_full = make_run_full(False)
 
         def make_run_full_b(lean: bool):
             """Batched twin of run_full — ONE dispatch for the whole
@@ -729,7 +741,7 @@ class SceneTrainer:
         return (jax.jit(prepare), jax.jit(segment, static_argnums=(7,)),
                 jax.jit(prepare_b),
                 jax.jit(segment_b, static_argnums=(7,)),
-                jax.jit(run_full),
+                jax.jit(run_full), jax.jit(make_run_full(True)),
                 jax.jit(make_run_full_b(False)),
                 jax.jit(make_run_full_b(True)),
                 jax.jit(make_run_chain(False)),
@@ -789,7 +801,7 @@ class SceneTrainer:
     def optimize_scene(self, initial_pose, poses_2d, cameras: Camera = None,
                        pose_3d_gt=None, drop_key=None, drop_mask=None,
                        checkpoint_iterations=(), checkpoint_fn=None,
-                       hist8_init=None, inputs=None):
+                       hist8_init=None, inputs=None, lean=False):
         """Run the full optimization for one scene.
 
         initial_pose (N,3); poses_2d (V,N,2+); cameras batched over V;
@@ -808,6 +820,11 @@ class SceneTrainer:
         (train.py:227-229). The scan is split into jit-cached segments at
         those boundaries, so the default [iterations] case stays one fused
         program.
+
+        ``lean=True`` keeps only the LAST telemetry row (K=1, bitwise the
+        full history's final row — the chain/batch variants' knob); it
+        applies to the no-mid-checkpoint fast path only (checkpointed runs
+        are debug runs that keep the full history).
         """
         from skelsplat_tpu.utils import put_trees
 
@@ -841,7 +858,8 @@ class SceneTrainer:
                 hist8 = jnp.asarray(hist8_init, jnp.float32)
             else:
                 hist8 = self._hist8_default()
-            carry, recs, stop_max = self._run_full(
+            run = self._run_full_lean if lean else self._run_full
+            carry, recs, stop_max = run(
                 initial_pose, poses_2d, cameras, drop_mask, pose_3d_gt,
                 extent, hist8)
             if checkpoint_fn is not None and rounded:

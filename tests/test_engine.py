@@ -294,6 +294,16 @@ def test_grouped_inputs_path_matches_direct(scene):
         np.testing.assert_array_equal(np.asarray(pg.xyz), np.asarray(pd.xyz))
         np.testing.assert_array_equal(np.asarray(hg.losses),
                                       np.asarray(hd.losses))
+        # per-scene lean mode: last telemetry row only, bitwise the full
+        # run's final row (chain/batch have the same knob + tests)
+        pl_, hl = tr.optimize_scene(i, p2d, cams, gt, lean=True)
+        np.testing.assert_array_equal(np.asarray(pl_.xyz),
+                                      np.asarray(pd.xyz))
+        assert hl.losses.shape[0] == 1
+        np.testing.assert_array_equal(np.asarray(hl.losses[0]),
+                                      np.asarray(hd.losses[-1]))
+        np.testing.assert_array_equal(np.asarray(hl.error[0]),
+                                      np.asarray(hd.error[-1]))
 
 
 @pytest.mark.parametrize("stopping", ["no_stopping", "opt_early_stopping"])
