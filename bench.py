@@ -144,8 +144,11 @@ def main(argv=None):
     if args.profile:
         with jax.profiler.trace(args.profile):
             params, hist = trainer.optimize_scene(init[1], p2d[1], cams_b,
-                                                  gt[1])
-            jax.block_until_ready(params.xyz)
+                                                  gt[1], lean=True)
+            # fetch, don't block: on remote tunnels block_until_ready can
+            # return before the device executes, stopping the trace with
+            # NO device events captured (observed live on panoptic)
+            np.asarray(params.xyz)
         print(f"trace written to {args.profile}", file=sys.stderr)
 
     if args.batch > 1:

@@ -419,11 +419,13 @@ class SceneTrainer:
                 # scenes: 0 fit 512, 22 fit 832×1024, 9 need the tall
                 # tier, 1 straddled past 960 rows to the full frame at
                 # ~5× cost). Tier heights: 832 absorbs the ≤63-row band
-                # snap over ~768-row bodies; the catch-alls are FULL
-                # height (fit by height always), so only slot-span or
-                # width overflow ever reaches the full-frame fallback.
-                sizes = [(832, 1024, 384, None), (H_pad, 1152, 384, None),
-                         (H_pad, 1152, None, None)]
+                # snap over ~768-row bodies; the tall tier is FULL height
+                # (fits by height always). No unsliced safety tier:
+                # 0/32 scenes had slot spans >384 and each extra switch
+                # branch costs ~7 µs on EVERY macro (2-tier 0.0302 vs
+                # 3-tier 0.0328 s/frame measured) — span overflow takes
+                # the exact full-frame fallback instead.
+                sizes = [(832, 1024, 384, None), (H_pad, 1152, 384, None)]
         else:
             sizes = []
             for item in spec.split(","):
