@@ -408,8 +408,15 @@ class SceneTrainer:
                 # the frame here and pure switch-depth overhead
                 sizes = [(512, 768, 256, None)]
             elif H_pad * W_pad <= 1280 * 768:
-                # Occlusion-Person class (wide ~720p frames)
-                sizes = [(512, 768, 256, None), (768, 1024, 384, None)]
+                # Occlusion-Person class (wide ~720p frames): ONE tier
+                # sized from the init-bbox histogram (bodies ≤ ~587×731,
+                # spans ≤ 224, + the ≤63/127 px band/lane straddle →
+                # 704×896 catches 32/32). The old (512,768)+(736,1024)
+                # pair sent 9/32 scenes to the tall tier, whose 736
+                # height forces 32-row bands (not 64-divisible) — 23
+                # bands per view; the single 64-band tier measured
+                # 0.0194 vs 0.0200 s/frame.
+                sizes = [(704, 896, 256, None)]
             else:
                 # Panoptic class and larger. NO 512-row tier: the window
                 # must cover the GT supports too, which are body-sized
