@@ -150,7 +150,7 @@ def _slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off):
 
 
 def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
-                out_ref, T_ref, done_ref):
+                out_ref, T_ref):
     """g_ref: SMEM (n, PACK); p1_ref: VMEM (H_pad, 128) FULL lane-per-slot
     row profiles (each program reads its own band — pre-slicing the
     window in XLA cost an unrolled while loop per view under vmap);
@@ -187,9 +187,13 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     # Chain state lives in VMEM scratch so the per-slot bodies are pure
     # side effects under pl.when (Mosaic cannot handle lax.cond carrying
     # many vector results, but predicated ref mutation is the canonical
-    # pattern).
+    # pattern). The early-out ("done") mask is encoded IN T: a pixel that
+    # fires the T_MIN early-out has its T set to 0, and since
+    # test = T·(1−α) ≤ T, every later slot sees test = 0 < T_MIN — so
+    # live = gate & (test ≥ T_MIN) reproduces the separate done chain
+    # exactly while saving its load/update/store per slot and its
+    # (rows, win_w) scratch.
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
-    done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     cw0 = slot_w if (slot_w is not None and slot_w < w_pad) else w_pad
     ys, xs0, tx0, tile_y = _base_geometry(y0f, rows, cw0)
     in_rows = ys < g_ref[0, IDX_H]
@@ -205,12 +209,12 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
             in_img = in_rows & (xs < g_ref[0, IDX_W])
             T = T_ref[:, cols]
-            done = done_ref[:, cols] > 0.0
             alpha, gate, _, _, _, _ = _slot_alpha(g_ref, i, ys, xs,
                                                   tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
             test = T * (1.0 - a_i)
-            live = gate & (test >= geometry.T_MIN) & (~done)
+            ge = test >= geometry.T_MIN
+            live = gate & ge
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
             gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
@@ -219,9 +223,9 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
-            done2 = done | (gate & (test < geometry.T_MIN) & (~done))
-            done_ref[:, cols] = done2.astype(jnp.float32)
-            T_ref[:, cols] = jnp.where(live, test, T)
+            # gated & below T_MIN → early-out: T := 0 (the done encoding)
+            T_ref[:, cols] = jnp.where(
+                gate, jnp.where(ge, test, 0.0), T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
         def _(i=i, cols_p2=cols_p2, c0f=c0f):
@@ -235,7 +239,7 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
 
 
 def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
-                p2_ref, offs_ref, out_ref, dg_ref, T_ref, done_ref, al_ref,
+                p2_ref, offs_ref, out_ref, dg_ref, T_ref, al_ref,
                 Ti_ref, sfx_ref, *gstack_refs):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
@@ -275,8 +279,10 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
         for j in range(dg_ref.shape[1]):
             dg_ref[0, j] = 0.0
 
+    # early-out mask encoded in T (:= 0 on the T_MIN early-out), exactly
+    # as in _fwd_kernel — pass 2 never reads the chain, so only pass 1
+    # changes; the live-masked α stack is what carries liveness across.
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
-    done_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     rends = []
     slot_cols = [_slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off)
                  for i in range(n)]
@@ -297,12 +303,12 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
             in_img = in_rows & (xs < g_ref[0, IDX_W])
             T = T_ref[:, cols]
-            done = done_ref[:, cols] > 0.0
             alpha, gate, E, dx, dy, power = _slot_alpha(
                 g_ref, i, ys, xs, tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
             test = T * (1.0 - a_i)
-            live = gate & (test >= geometry.T_MIN) & (~done)
+            ge = test >= geometry.T_MIN
+            live = gate & ge
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
             gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
@@ -318,9 +324,8 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
                 # exactly pass 2's recompute values, stored instead
                 gh_ref[i] = jnp.where(mask & live, _derr(d, l1), 0.0)
                 E_ref[i] = E
-            done_ref[:, cols] = (done | (gate & (test < geometry.T_MIN)
-                                         & (~done))).astype(jnp.float32)
-            T_ref[:, cols] = jnp.where(live, test, T)
+            T_ref[:, cols] = jnp.where(
+                gate, jnp.where(ge, test, 0.0), T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
         def _(i=i, cols_p2=cols_p2, c0f=c0f):
@@ -416,8 +421,7 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, win_w), jnp.float32),   # T
-            pltpu.VMEM((rows, win_w), jnp.float32),   # done mask
+            pltpu.VMEM((rows, win_w), jnp.float32),   # T (0 = early-out)
         ],
         interpret=interpret,
     )(gauss, p1, p2, offs)
@@ -430,13 +434,14 @@ VMEM_BUDGET_BYTES = int(13.5 * 2**20)  # of the ~16 MiB scoped limit
 def bwd_vmem_bytes(n: int, rows: int, stack_w: int, win_w: int,
                    h_pad: int, w_pad: int, n_stacks: int) -> int:
     """f32 VMEM bytes of the combined bwd kernel's resident state:
-    ``n_stacks`` per-slot (n, rows, stack_w) stacks + 3 (rows, win_w)
-    chains (T/done/suffix) + the FULL resident profiles + the SMEM-ish
-    pack. The trainer's tier_rows sizes row bands against the 2-stack
-    form; ``_run_bwd`` upgrades to 4 stacks (ghat/E, skipping pass 2's
-    recompute) only when this still fits, so the upgrade can never
-    break a tier the 2-stack budget admitted."""
-    return 4 * (n_stacks * n * rows * stack_w + 3 * rows * win_w
+    ``n_stacks`` per-slot (n, rows, stack_w) stacks + 2 (rows, win_w)
+    chains (T with the early-out encoded as 0, and the suffix) + the
+    FULL resident profiles + the SMEM-ish pack. The trainer's tier_rows
+    sizes row bands against the 2-stack form; ``_run_bwd`` upgrades to
+    4 stacks (ghat/E, skipping pass 2's recompute) only when this still
+    fits, so the upgrade can never break a tier the 2-stack budget
+    admitted."""
+    return 4 * (n_stacks * n * rows * stack_w + 2 * rows * win_w
                 + h_pad * LANES + n * w_pad + n * PACK)
 
 
@@ -479,8 +484,7 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
             jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, win_w), jnp.float32),      # T
-            pltpu.VMEM((rows, win_w), jnp.float32),      # done mask
+            pltpu.VMEM((rows, win_w), jnp.float32),      # T (0 = early-out)
             stacks[0],                                   # live-α stack
             stacks[1],                                   # T stack
             pltpu.VMEM((rows, win_w), jnp.float32),      # suffix
