@@ -5,6 +5,7 @@ the vestigial upstream-3DGS Colmap scene reader and the depth-scale tool)."""
 from __future__ import annotations
 
 import collections
+import os
 import struct
 
 import numpy as np
@@ -257,3 +258,111 @@ def read_colmap_bin_array(path):
         array = np.fromfile(fid, np.float32)
     array = array.reshape((width, height, channels), order="F")
     return np.transpose(array, (1, 0, 2)).squeeze()
+
+
+# --- Full-model dispatchers (utils/read_write_model.py:427-530) ----------
+# The array-returning ``read_points3D_*`` above keep colmap_loader.py's
+# interface (xyzs, rgbs, errors) for the 3DGS scene reader; the model-level
+# functions below round-trip complete Point3D records including tracks.
+
+def read_points3D_model_text(path):
+    points3D = {}
+    with open(path) as fid:
+        for line in fid:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            elems = line.split()
+            pid = int(elems[0])
+            track = np.array(tuple(map(int, elems[8:])))
+            points3D[pid] = Point3D(
+                id=pid, xyz=np.array(tuple(map(float, elems[1:4]))),
+                rgb=np.array(tuple(map(int, elems[4:7]))),
+                error=np.array(float(elems[7])),
+                image_ids=track[0::2], point2D_idxs=track[1::2])
+    return points3D
+
+
+def read_points3D_model_binary(path_to_model_file):
+    points3D = {}
+    with open(path_to_model_file, "rb") as fid:
+        num_points = read_next_bytes(fid, 8, "Q")[0]
+        for _ in range(num_points):
+            props = read_next_bytes(fid, 43, "QdddBBBd")
+            pid = props[0]
+            track_length = read_next_bytes(fid, 8, "Q")[0]
+            track = read_next_bytes(fid, 8 * track_length,
+                                    "ii" * track_length)
+            points3D[pid] = Point3D(
+                id=pid, xyz=np.array(props[1:4]),
+                rgb=np.array(props[4:7]), error=np.array(props[7]),
+                image_ids=np.array(tuple(map(int, track[0::2]))),
+                point2D_idxs=np.array(tuple(map(int, track[1::2]))))
+    return points3D
+
+
+def write_points3D_text(points3D, path):
+    n_tracks = sum(len(pt.image_ids) for pt in points3D.values())
+    mean_track = n_tracks / len(points3D) if points3D else 0
+    with open(path, "w") as fid:
+        fid.write("# 3D point list with one line of data per point:\n"
+                  "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[] as "
+                  "(IMAGE_ID, POINT2D_IDX)\n"
+                  f"# Number of points: {len(points3D)}, "
+                  f"mean track length: {mean_track}\n")
+        for pt in points3D.values():
+            head = [pt.id, *pt.xyz, *pt.rgb, pt.error]
+            track = [f"{i} {j}" for i, j in zip(pt.image_ids,
+                                                pt.point2D_idxs)]
+            fid.write(" ".join(map(str, head)) + " "
+                      + " ".join(track) + "\n")
+
+
+def write_points3D_binary(points3D, path_to_model_file):
+    with open(path_to_model_file, "wb") as fid:
+        write_next_bytes(fid, len(points3D), "Q")
+        for pt in points3D.values():
+            write_next_bytes(fid, int(pt.id), "Q")
+            write_next_bytes(fid, [float(v) for v in pt.xyz], "ddd")
+            write_next_bytes(fid, [int(v) for v in pt.rgb], "BBB")
+            write_next_bytes(fid, float(pt.error), "d")
+            write_next_bytes(fid, len(pt.image_ids), "Q")
+            for i, j in zip(pt.image_ids, pt.point2D_idxs):
+                write_next_bytes(fid, [int(i), int(j)], "ii")
+
+
+def detect_model_format(path, ext):
+    return all(os.path.isfile(os.path.join(path, name + ext))
+               for name in ("cameras", "images", "points3D"))
+
+
+def read_model(path, ext=""):
+    if ext == "":
+        for candidate in (".bin", ".txt"):
+            if detect_model_format(path, candidate):
+                ext = candidate
+                break
+        else:
+            raise FileNotFoundError(
+                f"No COLMAP model (.bin or .txt) found under {path}")
+    join = lambda name: os.path.join(path, name + ext)  # noqa: E731
+    if ext == ".txt":
+        return (read_intrinsics_text(join("cameras")),
+                read_extrinsics_text(join("images")),
+                read_points3D_model_text(join("points3D")))
+    return (read_intrinsics_binary(join("cameras")),
+            read_extrinsics_binary(join("images")),
+            read_points3D_model_binary(join("points3D")))
+
+
+def write_model(cameras, images, points3D, path, ext=".bin"):
+    join = lambda name: os.path.join(path, name + ext)  # noqa: E731
+    if ext == ".txt":
+        write_cameras_text(cameras, join("cameras"))
+        write_images_text(images, join("images"))
+        write_points3D_text(points3D, join("points3D"))
+    else:
+        write_cameras_binary(cameras, join("cameras"))
+        write_images_binary(images, join("images"))
+        write_points3D_binary(points3D, join("points3D"))
+    return cameras, images, points3D

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import socket
+import struct
 import traceback
 
 import numpy as np
@@ -82,19 +83,28 @@ def try_connect():
         pass
 
 
+def _recv_exact(num_bytes):
+    """Read exactly num_bytes (socket.recv may return short chunks)."""
+    chunks = []
+    remaining = num_bytes
+    while remaining > 0:
+        chunk = conn.recv(remaining)
+        if not chunk:
+            raise ConnectionError("viewer closed the socket mid-message")
+        chunks.append(chunk)
+        remaining -= len(chunk)
+    return b"".join(chunks)
+
+
 def read():
-    global conn
-    message_length = int.from_bytes(conn.recv(4), "little")
-    message = conn.recv(message_length)
-    return json.loads(message.decode("utf-8"))
+    (length,) = struct.unpack("<I", _recv_exact(4))
+    return json.loads(_recv_exact(length).decode("utf-8"))
 
 
 def send(message_bytes, verify):
-    global conn
-    if message_bytes is not None:
-        conn.sendall(message_bytes)
-    conn.sendall(len(verify).to_bytes(4, "little"))
-    conn.sendall(bytes(verify, "ascii"))
+    tail = verify.encode("ascii")
+    payload = b"" if message_bytes is None else bytes(message_bytes)
+    conn.sendall(payload + struct.pack("<I", len(tail)) + tail)
 
 
 def receive():

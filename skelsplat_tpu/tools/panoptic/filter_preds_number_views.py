@@ -1,7 +1,14 @@
 #!/usr/bin/env python
 """Filter Panoptic samples to those valid in ALL selected views
-(port of dataset_tools/panoptic/filter_preds_number_views.py). Writes
-``poses_filtered_{nviews}.npz`` next to each source npz; GT gets ×10 (cm)."""
+(counterpart of dataset_tools/panoptic/filter_preds_number_views.py).
+
+For each activity, the per-view 3D mono predictions decide validity: a
+frame survives only if every selected view has a prediction (not None)
+with no NaNs. Surviving frames of the 3D/2D predictions and 2D GT are
+written per view, plus one shared 3D GT file, as
+``poses_filtered_{nviews}.npz``. GT poses are scaled x10 (dm -> cm,
+reference :72-74) at write time.
+"""
 
 import argparse
 import os
@@ -12,39 +19,53 @@ import numpy as np
 from skelsplat_tpu.data.cameras_io import PANOPTIC_CAMERAS
 
 
-def load_npz(file, key):
-    with np.load(file, allow_pickle=True) as npz:
-        if key not in npz:
-            raise KeyError(f"Key '{key}' not found in {os.path.basename(file)}")
-        return npz[key]
+def read_poses(path, key="poses"):
+    """Load one array from an npz, tolerating object dtype (None entries)."""
+    with np.load(path, allow_pickle=True) as archive:
+        try:
+            return archive[key]
+        except KeyError:
+            raise KeyError(f"{path}: npz has no '{key}' entry "
+                           f"(keys: {sorted(archive.files)})")
 
 
-def compute_valid_mask_across_views(view_arrays):
-    """True iff the sample exists (not None) and is NaN-free in every view."""
-    if not view_arrays:
+def _view_mask(poses):
+    """Per-frame validity for ONE view: present and NaN-free."""
+    n = poses.shape[0]
+    if poses.dtype != object:
+        flat = poses.reshape(n, -1)
+        return ~np.isnan(flat).any(axis=1)
+    ok = np.empty(n, dtype=bool)
+    for i in range(n):
+        entry = poses[i]
+        ok[i] = entry is not None and not np.isnan(np.asarray(entry)).any()
+    return ok
+
+
+def joint_valid_indices(view_arrays):
+    """Frame indices valid in EVERY view (AND of the per-view masks)."""
+    if len(view_arrays) == 0:
         raise ValueError("No view arrays provided.")
-    lengths = [arr.shape[0] for arr in view_arrays]
-    if len(set(lengths)) != 1:
-        raise ValueError(f"Inconsistent sample counts: {lengths}")
-    valid = np.ones(lengths[0], dtype=bool)
-    for arr in view_arrays:
-        if arr.dtype == object:
-            mask = np.array([(x is not None) and (not np.any(np.isnan(x)))
-                             for x in arr], dtype=bool)
-        else:
-            mask = ~np.isnan(arr).any(axis=tuple(range(1, arr.ndim)))
-        valid &= mask
-    return valid
+    counts = {a.shape[0] for a in view_arrays}
+    if len(counts) != 1:
+        raise ValueError(f"Inconsistent sample counts: "
+                         f"{[a.shape[0] for a in view_arrays]}")
+    joint = np.logical_and.reduce([_view_mask(a) for a in view_arrays])
+    return np.flatnonzero(joint)
 
 
-def save_filtered(src_file, dst_file, indices, key):
-    data = load_npz(src_file, key)
-    filtered = np.asarray(data[indices], dtype=np.float64)
-    if "gt" in dst_file:
-        filtered = filtered * 10  # convert to cm (reference :72-74)
-    os.makedirs(os.path.dirname(dst_file), exist_ok=True)
-    np.savez(dst_file, poses=filtered)
-    return filtered.shape
+def write_filtered(src_file, dst_file, indices, key="poses", scale=1.0):
+    """Write the kept frames (as float64, optionally scaled) under 'poses'."""
+    # asarray (not astype) so object arrays of uniform poses stack densely
+    kept = np.asarray(list(read_poses(src_file, key)[indices]),
+                      dtype=np.float64)
+    if scale != 1.0:
+        kept = kept * scale
+    parent = os.path.dirname(dst_file)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    np.savez(dst_file, poses=kept)
+    return kept.shape
 
 
 def main(argv=None):
@@ -62,36 +83,33 @@ def main(argv=None):
 
     camera_names = args.cameras[: args.nviews]
     nv = len(camera_names)
+    # (folder name, write scale) -- GT converted to cm on write.
+    per_view_roles = [(args.preds3d_name, 1.0), (args.preds2d_name, 1.0),
+                      (args.gt2d_name, 10.0)]
     for activity in args.activities:
-        files = [os.path.join(args.data_path, args.preds3d_name, "S0",
-                              activity, cam, "poses.npz")
-                 for cam in camera_names]
+        act_dir = lambda name, *rest: os.path.join(  # noqa: E731
+            args.data_path, name, "S0", activity, *rest)
         try:
-            preds_views = [load_npz(f, "poses") for f in files]
+            preds_views = [read_poses(act_dir(args.preds3d_name, cam,
+                                              "poses.npz"))
+                           for cam in camera_names]
         except (FileNotFoundError, KeyError) as e:
             print(f"[ERROR] {e}", file=sys.stderr)
             continue
-        valid = np.nonzero(compute_valid_mask_across_views(preds_views))[0]
-        print(f"{activity}: {len(valid)} / {preds_views[0].shape[0]} valid")
-        if len(valid) == 0:
+        keep = joint_valid_indices(preds_views)
+        print(f"{activity}: {len(keep)} / {preds_views[0].shape[0]} valid")
+        if keep.size == 0:
             continue
-        for cam in camera_names:
-            for name in (args.preds3d_name, args.preds2d_name,
-                         args.gt2d_name):
-                d = os.path.join(args.data_path, name, "S0", activity, cam)
-                try:
-                    save_filtered(os.path.join(d, "poses.npz"),
-                                  os.path.join(d, f"poses_filtered_{nv}.npz"),
-                                  valid, "poses")
-                except (FileNotFoundError, KeyError) as e:
-                    print(f"[ERROR] {e}", file=sys.stderr)
-        d = os.path.join(args.data_path, args.gt3d_name, "S0", activity)
-        try:
-            save_filtered(os.path.join(d, "poses.npz"),
-                          os.path.join(d, f"poses_filtered_{nv}.npz"),
-                          valid, "poses")
-        except (FileNotFoundError, KeyError) as e:
-            print(f"[ERROR] {e}", file=sys.stderr)
+        jobs = [(act_dir(name, cam), scale)
+                for cam in camera_names for name, scale in per_view_roles]
+        jobs.append((act_dir(args.gt3d_name), 10.0))
+        for d, scale in jobs:
+            try:
+                write_filtered(os.path.join(d, "poses.npz"),
+                               os.path.join(d, f"poses_filtered_{nv}.npz"),
+                               keep, scale=scale)
+            except (FileNotFoundError, KeyError) as e:
+                print(f"[ERROR] {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

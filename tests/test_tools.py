@@ -220,3 +220,56 @@ def test_trace_summary_hlo_source_map(tmp_path):
     assert loc["fusion.252"] == "trainer.py:570"
     assert loc["add.1"] == "geometry.py:33"
     assert "no_meta" not in loc
+
+
+def test_filter_preds_number_views(tmp_path):
+    """The panoptic view-consistency filter keeps exactly the frames that
+    are present and NaN-free in ALL selected views, writes float64
+    'poses_filtered_{nviews}' npzs, and scales GT x10 (reference
+    dataset_tools/panoptic/filter_preds_number_views.py)."""
+    from skelsplat_tpu.tools.panoptic import filter_preds_number_views as f
+
+    root, act, cams = tmp_path / "pan", "171204_pose5", ["00_01", "00_02"]
+    rng = np.random.default_rng(3)
+    n = 6
+
+    def put(name, cam, poses):
+        d = root / name / "S0" / act / (cam or "")
+        d.mkdir(parents=True, exist_ok=True)
+        np.savez(d / "poses.npz", poses=poses)
+
+    # view 0: frame 1 has a NaN; view 1: frame 3 is None (object dtype)
+    p3d_v0 = rng.normal(size=(n, 19, 3))
+    p3d_v0[1, 0, 0] = np.nan
+    p3d_v1 = np.empty(n, dtype=object)
+    for i in range(n):
+        p3d_v1[i] = rng.normal(size=(19, 3))
+    p3d_v1[3] = None
+    put("3d_metrabs_mono", cams[0], p3d_v0)
+    put("3d_metrabs_mono", cams[1], p3d_v1)
+    p2d = {c: rng.normal(size=(n, 19, 2)) for c in cams}
+    gt2d = {c: rng.normal(size=(n, 19, 2)) for c in cams}
+    for c in cams:
+        put("2d_metrabs", c, p2d[c])
+        put("2d_gt", c, gt2d[c])
+    gt3d = rng.normal(size=(n, 19, 3))
+    put("3d_gt", None, gt3d)
+
+    f.main(["--data_path", str(root), "--activities", act,
+            "--nviews", "2", "--cameras", *cams])
+
+    keep = [0, 2, 4, 5]  # 1 (NaN in v0) and 3 (None in v1) dropped
+    for c in cams:
+        out = np.load(root / "2d_metrabs" / "S0" / act / c /
+                      "poses_filtered_2.npz")["poses"]
+        np.testing.assert_allclose(out, p2d[c][keep])
+        assert out.dtype == np.float64
+        out = np.load(root / "2d_gt" / "S0" / act / c /
+                      "poses_filtered_2.npz")["poses"]
+        np.testing.assert_allclose(out, gt2d[c][keep] * 10)  # GT -> cm
+        out = np.load(root / "3d_metrabs_mono" / "S0" / act / c /
+                      "poses_filtered_2.npz", allow_pickle=True)["poses"]
+        assert out.shape[0] == len(keep)
+    out = np.load(root / "3d_gt" / "S0" / act /
+                  "poses_filtered_2.npz")["poses"]
+    np.testing.assert_allclose(out, gt3d[keep] * 10)
