@@ -341,8 +341,8 @@ def _rig_raw(n_views=NV, width=W, height=H, dist=4000.0):
     return out
 
 
-@pytest.fixture(scope="module")
-def scenes():
+@functools.lru_cache()
+def _scenes(n_joints=N_J):
     """Two scenes sharing one camera rig (as one H36M subject does)."""
     from tests.utils import project_np, synthetic_skeleton, take_cam
 
@@ -353,12 +353,32 @@ def scenes():
     out = []
     for seed in (3, 11):
         rng = np.random.default_rng(seed)
-        gt = synthetic_skeleton(N_J, rng=rng, spread=300.0)
+        gt = synthetic_skeleton(n_joints, rng=rng, spread=300.0)
         p2d = np.stack([project_np(gt, take_cam(cams, v))
                         for v in range(NV)]).astype(np.float32)
         init = (gt + rng.normal(0, 50, gt.shape)).astype(np.float32)
         out.append((init, gt, p2d))
     return rig, cams, out
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    return _scenes(N_J)
+
+
+# per-dataset loop surfaces: joint count (one-hot channel count, extremity
+# boost indices, consistency limb pairs), the scene_name parse branch
+# (train.py:186-193: panoptic names have a two-part activity) and the
+# renderer registry key (gaussian_renderer/__init__.py:367-371)
+DATASETS = {
+    "h36m": (17, "data/h36m", "diff-gaussian-rasterization-h36m",
+             "S1_Walking_{i:03d}"),
+    "panoptic": (19, "data/panoptic", "diff-gaussian-rasterization-panoptic",
+                 "S1_band_pose_{i:03d}"),
+    "occlusion-person": (15, "data/occlusion-person",
+                         "diff-gaussian-rasterization-op",
+                         "S1_Walking_{i:03d}"),
+}
 
 
 def _ref_camera_infos(mod, rig):
@@ -376,12 +396,14 @@ def _ref_camera_infos(mod, rig):
 
 
 def _cfg(iters, early_stopping="_recording",
-         consistency_loss="3D_length_consistency"):
-    dataset = SimpleNamespace(data_root="data/h36m", nviews=NV)
+         consistency_loss="3D_length_consistency",
+         data_root="data/h36m", rendering="diff-gaussian-rasterization-h36m",
+         scaling_modifier=1.0):
+    dataset = SimpleNamespace(data_root=data_root, nviews=NV)
     model = SimpleNamespace(
         sh_degree=1, resolution=-1, white_background=False,
         train_test_exp=False, data_device="cpu", eval=False,
-        opacity_on=True, scaling=3.0, scaling_modifier=1.0)
+        opacity_on=True, scaling=3.0, scaling_modifier=scaling_modifier)
     opt = SimpleNamespace(
         iterations=iters, position_lr_init=0.0005,
         position_lr_final=0.000005, position_lr_delay_mult=0.0,
@@ -391,7 +413,7 @@ def _cfg(iters, early_stopping="_recording",
         exposure_lr_delay_mult=0.0, percent_dense=0.01,
         random_background=False, optimizer_type="default")
     pipe = SimpleNamespace(
-        rendering="diff-gaussian-rasterization-h36m",
+        rendering=rendering,
         convert_SHs_python=False, compute_cov3D_python=False,
         debug=False, antialiasing=False)
     debug = SimpleNamespace(save_iterations=[iters], save_images=False)
@@ -420,10 +442,12 @@ class _RecordingStopper:
 # --------------------------------------------------------------------------
 
 @cpu_oracle
-def test_reference_training_matches_scene_trainer(scenes, tmp_path,
+@pytest.mark.parametrize("scene_type", sorted(DATASETS))
+def test_reference_training_matches_scene_trainer(scene_type, tmp_path,
                                                   monkeypatch):
+    n_joints, data_root, rendering, name_fmt = DATASETS[scene_type]
     mod = _ref_train()
-    rig, cams, scene_list = scenes
+    rig, cams, scene_list = _scenes(n_joints)
     cam_infos = _ref_camera_infos(mod, rig)
 
     # -------------------- reference side: its own training() ------------
@@ -435,10 +459,14 @@ def test_reference_training_matches_scene_trainer(scenes, tmp_path,
     monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
     monkeypatch.setattr(torch.cuda, "empty_cache", lambda *a, **k: None)
 
-    dataset, model, opt, pipe, debug, training = _cfg(ITERS)
+    # scaling_modifier 1.5 so the per-dataset EXTREMITY joint-index lists
+    # (gaussian_model.py:171-178) are live, not multiplied away by 1.0
+    dataset, model, opt, pipe, debug, training = _cfg(
+        ITERS, data_root=data_root, rendering=rendering,
+        scaling_modifier=1.5)
     loader = [
         (i, (init, gt, torch.from_numpy(p2d), cam_infos,
-             f"S1_Walking_{i:03d}"))
+             name_fmt.format(i=i)))
         for i, (init, gt, p2d) in enumerate(scene_list)]
     outdir = str(tmp_path / "ref_run")
 
@@ -451,7 +479,8 @@ def test_reference_training_matches_scene_trainer(scenes, tmp_path,
 
     # -------------------- repo side: SceneTrainer ------------------------
     tr = SceneTrainer(
-        SkeletonModel("h36m", N_J, scaling=3.0, scaling_modifier=1.0),
+        SkeletonModel(scene_type, n_joints, scaling=3.0,
+                      scaling_modifier=1.5),
         OptConfig(iterations=ITERS), TrainSettings(), W, H,
         renderer="dense")
 
@@ -462,7 +491,8 @@ def test_reference_training_matches_scene_trainer(scenes, tmp_path,
         # (k, v) is exactly our macro-history cell [k, v]
         ours = np.asarray(hist.losses, np.float64)
         rel = np.abs(ours - ref_losses[i]) / np.abs(ref_losses[i])
-        print(f"scene {i}: max per-iteration loss rel diff {rel.max():.3g}")
+        print(f"{scene_type} scene {i}: max per-iteration loss rel diff "
+              f"{rel.max():.3g}")
         # measured margin: ~1.2e-6 max rel over 2×24 iterations (f32 ulp
         # territory); 1e-5 leaves 10× headroom
         np.testing.assert_allclose(
@@ -472,8 +502,9 @@ def test_reference_training_matches_scene_trainer(scenes, tmp_path,
         # final parameters via the reference's own saved PLY
         # (scene.save_h36m → gaussian_model.save_ply, raw attribute values)
         from skelsplat_tpu.data.ply import read_ply
+        name = name_fmt.format(i=i)
         v = read_ply(
-            f"{outdir}/point_cloud/iteration_{ITERS}/S1_Walking_{i:03d}.ply")
+            f"{outdir}/point_cloud/iteration_{ITERS}/{name}.ply")
         ref_xyz = np.stack([v["x"], v["y"], v["z"]], axis=1)
         ref_logs = np.stack([v[f"scale_{k}"] for k in range(3)], axis=1)
         np.testing.assert_allclose(
