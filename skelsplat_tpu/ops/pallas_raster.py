@@ -149,8 +149,8 @@ def _slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off):
     return slice(None), slice(None), jnp.float32(0.0), w_pad
 
 
-def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
-                out_ref, T_ref):
+def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, g_ref, p1_ref, p2_ref,
+                offs_ref, out_ref, T_ref):
     """g_ref: SMEM (n, PACK); p1_ref: VMEM (H_pad, 128) FULL lane-per-slot
     row profiles (each program reads its own band — pre-slicing the
     window in XLA cost an unrolled while loop per view under vmap);
@@ -169,6 +169,15 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
     op for slot i runs over its (ROWS, slot_w) column window instead of the
     full (ROWS, w_pad) block (the dominant cost at Panoptic widths; splats
     are ~100-300 px wide against 1024+ px windows).
+
+    ``band_exit``: measurement probe (SKELSPLAT_PALLAS_BANDEXIT) — skip a
+    slot's compositing body when every pixel of its column slice has
+    already fired the T_MIN early-out (T ≡ 0). Exact: dead pixels have
+    contrib = 0 so the render branch degenerates to the GT-only terms,
+    which the fallback branch still pays (a dead slice does NOT cancel the
+    slot's gt>0 loss contributions — the reason full-band death essentially
+    never pays on skeleton splats). The aliveness test is itself a
+    slot-sized reduction, which is the probe's cost.
     """
     rows, w_pad = T_ref.shape
     p2_w = p2_ref.shape[1]
@@ -201,6 +210,8 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
         cols, cols_p2, c0f, cw = _slot_cols(g_ref, i, slot_w, w_pad,
                                             p2_w, c_off)
+        if band_exit:
+            rend_ov = rend_ov & (jnp.max(T_ref[:, cols]) > 0.0)
 
         @pl.when(rend_ov)
         def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
@@ -238,9 +249,9 @@ def _fwd_kernel(n: int, l1: bool, slot_w, g_ref, p1_ref, p2_ref, offs_ref,
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
-def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
-                p2_ref, offs_ref, out_ref, dg_ref, T_ref, al_ref,
-                Ti_ref, sfx_ref, *gstack_refs):
+def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
+                g_ref, p1_ref, p2_ref, offs_ref, out_ref, dg_ref, T_ref,
+                al_ref, Ti_ref, sfx_ref, *gstack_refs):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
@@ -291,8 +302,14 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, g_ref, p1_ref,
     in_rows = ys < g_ref[0, IDX_H]
     for i in range(n):
         rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
-        rends.append(rend_ov)
         cols, cols_p2, c0f, cw = slot_cols[i]
+        if band_exit:
+            # measurement probe (see _fwd_kernel): a slot whose slice is
+            # all early-outed skips compositing AND its pass-2 body (its
+            # live mask is empty → exactly zero gradient/suffix terms);
+            # the GT-only branch below still pays its gt>0 loss terms.
+            rend_ov = rend_ov & (jnp.max(T_ref[:, cols]) > 0.0)
+        rends.append(rend_ov)
         al_ref[i] = jnp.zeros((rows, cw), jnp.float32)
         Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
 
@@ -403,9 +420,11 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
     win_h, win_w = win_shape if win_shape is not None \
         else (p1.shape[0], p2.shape[1])
     n_prog = win_h // rows
+    band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
+        not in ("", "0", "off")
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n, l1, slot_w),
+        functools.partial(_fwd_kernel, n, l1, slot_w, band_exit),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -460,8 +479,10 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
                if force == "" else force not in ("0", "off"))
     stacks = [pltpu.VMEM((n, rows, stack_w), jnp.float32)] \
         * (4 if gstacks else 2)
+    band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
+        not in ("", "0", "off")
     out, dg = pl.pallas_call(
-        functools.partial(_bwd_kernel, n, l1, slot_w, gstacks),
+        functools.partial(_bwd_kernel, n, l1, slot_w, gstacks, band_exit),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),

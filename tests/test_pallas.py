@@ -341,6 +341,41 @@ def test_slot_sliced_windowed_matches_fused(monkeypatch):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_band_exit_variant_bitwise(monkeypatch):
+    """The SKELSPLAT_PALLAS_BANDEXIT measurement probe (skip a slot whose
+    column slice is fully early-outed, T ≡ 0) must be BITWISE the default
+    kernel: a dead slice contributes exactly zero to compositing, loss and
+    gradients, so the skip only removes arithmetic that lands on zeros.
+    Opacity logit 40 (sigmoid exactly 1, α clamped 0.99) makes the T_MIN
+    early-out actually fire by the 2nd covering splat, so the gate is live
+    in this configuration, not vacuous. Measured on TPU and rejected as a
+    default (PERF.md round 4): the per-slot aliveness reduction costs more
+    than the skips save on skeleton splats."""
+    N, W2, H2, NV2 = 17, 288, 160, 2
+    cams, _, _ = synthetic_rig(n_views=NV2, width=W2, height=H2)
+    rng = np.random.default_rng(29)
+    gt = synthetic_skeleton(N, rng=rng, spread=60.0)  # tight → overlaps
+    p2d = np.stack([project_np(gt, take_cam(cams, v))
+                    for v in range(NV2)]).astype(np.float32)
+    init = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    model = SkeletonModel("h36m", N, scaling=3.0)
+    opt = OptConfig(iterations=6)
+    st = TrainSettings(accumulation_steps=2)
+
+    results = {}
+    for force in ("1", "0"):
+        monkeypatch.setenv("SKELSPLAT_PALLAS_BANDEXIT", force)
+        monkeypatch.setenv("SKELSPLAT_PALLAS_WINDOW", "96x256x128")
+        tr = SceneTrainer(model, opt, st, W2, H2, renderer="pallas")
+        results[force] = tr.optimize_scene(init, p2d, cams, gt)
+    (p1_, h1), (p0, h0) = results["1"], results["0"]
+    np.testing.assert_array_equal(np.asarray(p1_.xyz), np.asarray(p0.xyz))
+    np.testing.assert_array_equal(np.asarray(p1_.log_scales),
+                                  np.asarray(p0.log_scales))
+    np.testing.assert_array_equal(np.asarray(h1.losses),
+                                  np.asarray(h0.losses))
+
+
 def test_ghat_stack_variant_bitwise(monkeypatch):
     """The 4-stack bwd kernel (ghat/E stashed in pass 1, no pass-2
     recompute — _run_bwd's gstacks upgrade) must be BITWISE the 2-stack
