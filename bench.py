@@ -30,9 +30,9 @@ REF_SECONDS_PER_FRAME = 2.5
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=32,
+    ap.add_argument("--frames", type=int, default=64,
                     help="timed frames (after 1 compile/warmup frame) — "
-                         "two chained groups of 16, so the steady-state "
+                         "two chained groups of 32, so the steady-state "
                          "fetch/execution overlap is actually exercised")
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--small", action="store_true",
@@ -44,11 +44,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure same-chip scene batching at this "
                          "batch size (throughput mode)")
-    ap.add_argument("--group", type=int, default=16,
+    ap.add_argument("--group", type=int, default=32,
                     help="scenes chained per program dispatch in the sweep "
-                         "(the driver's training.fetch_scenes; 16 is the "
-                         "measured knee — 0.0214/0.0195/0.0187 s/frame at "
-                         "8/16/32)")
+                         "(the driver's training.fetch_scenes; 32 is the "
+                         "measured knee with the lean carry-threaded "
+                         "program — 0.0179/0.0169/0.0166 s/frame at "
+                         "16/32/64 over 64 timed frames)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed frame "
                          "into DIR (view with tensorboard/xprof)")
@@ -102,7 +103,7 @@ def main(argv=None):
 
     # steady-state sweep throughput: scenes are independent, so the driver
     # pipelines them by default and CHAINS each group of
-    # training.fetch_scenes (default 8) scenes into ONE program dispatch
+    # training.fetch_scenes (default 32) scenes into ONE program dispatch
     # (optimize_scene_chain: lax.scan of the per-scene program — bitwise
     # the per-scene results, tests/test_engine.py) with one packed H2D
     # transfer in and one packed fetch out, the fetch overlapped with the

@@ -269,17 +269,20 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     # behind on-device work. Measured through the RPC tunnel, each fetch
     # exposes ~12 ms of wall clock that does NOT overlap device execution
     # even when fully pipelined, so fetches are additionally GROUPED:
-    # ``training.fetch_scenes`` results (default 16) are packed into ONE
-    # device round-trip, amortizing the per-fetch cost to <1 ms/scene
-    # (measured sweep: 0.0214 s/frame at groups of 8, 0.0195 at 16,
-    # 0.0187 at 32 — 16 is the knee; 32 doubles compile time and result
-    # latency for 0.8 ms/frame more). The fetch of one group overlaps the
-    # execution of the next (up to 2×group scenes in flight).
+    # ``training.fetch_scenes`` results (default 32) are packed into ONE
+    # device round-trip, amortizing the per-fetch cost to <1 ms/scene.
+    # Re-measured round 4 with the lean carry-threaded program (64 timed
+    # frames = two full groups): 0.0179 s/frame at groups of 16, 0.0169
+    # at 32, 0.0166 at 64 — the knee moved from 16 to 32 as the device
+    # program got faster (fetch cost amortizes over more scenes); 64 buys
+    # 2% more for double the result latency, not taken. The fetch of one
+    # group overlaps the execution of the next (up to 2×group scenes in
+    # flight).
     # training.pipeline_scenes=false restores strictly serial
     # dispatch+fetch. The hist8 early-stop carry stays on-device, so
     # pipelining never forces a sync.
     pipeline = bool(getattr(training_group, "pipeline_scenes", True))
-    fetch_group = max(1, int(getattr(training_group, "fetch_scenes", 16)
+    fetch_group = max(1, int(getattr(training_group, "fetch_scenes", 32)
                              or 1)) if pipeline else 1
     # input transfers are grouped the same way (one packed H2D RPC per
     # fetch_group scenes): per-scene puts exposed ~4 ms of host time each

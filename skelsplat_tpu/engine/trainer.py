@@ -87,9 +87,21 @@ def stop_offset(hist8, cur, k1, tol):
     return stop_now, m_star, jax.lax.dynamic_slice(full, (m_star,), (8,))
 
 
+def _telemetry_norms(pred, pose_3d_gt):
+    """The per-macro telemetry norms (train.py:184-205): absolute and
+    pelvis-relative per-joint errors. One function so the lean fast paths
+    (which evaluate it ONCE on the final params) stay bitwise the full
+    history's in-scan rows."""
+    err = jnp.linalg.norm(pred - pose_3d_gt, axis=1)
+    err_rel = jnp.linalg.norm(
+        (pred - pred[0]) - (pose_3d_gt - pose_3d_gt[0]), axis=1)
+    return err, err_rel
+
+
 def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
                   general: bool, carry, k, losses_v, grads_v, idxs,
-                  pose_3d_gt, spatial_lr_scale, view_fusion: str = "mean"):
+                  pose_3d_gt, spatial_lr_scale, view_fusion: str = "mean",
+                  lean: bool = False):
     """One macro step's gradient composition + Adam update + telemetry —
     the exact reference semantics (train.py:155-233), shared by the
     single-chip scan and the multi-chip mesh step (which feeds it
@@ -106,6 +118,13 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
     paper's per-view confidence weighting (ops/similarity.py, the
     similarity_utils.py:30-188 pipeline the reference ships but never
     wires in) — additive, off by default for parity.
+
+    ``lean``: skip the per-macro err/err_rel telemetry norms and return
+    rec = (losses_v, stop_mark) only — the lean fast paths thread the
+    last row through the scan carry and compute the two norms ONCE from
+    the final params (bitwise the full history's last row; params are
+    frozen after a stop, so the post-scan norm sees the same xyz the
+    last in-scan row would). Params/opt/stop math is untouched.
     """
     if view_fusion == "confidence_weighted":
         from skelsplat_tpu.ops.similarity import confidence_weighted_mean
@@ -189,12 +208,12 @@ def compose_macro(adam, V_accum: int, nviews: int, use_stop: bool,
     stopped2 = stopped | (stop_now & apply)
 
     # telemetry (train.py:184-205)
-    pred = params2.xyz
-    err = jnp.linalg.norm(pred - pose_3d_gt, axis=1)
-    err_rel = jnp.linalg.norm(
-        (pred - pred[0]) - (pose_3d_gt - pose_3d_gt[0]), axis=1)
-    rec = (losses_v, err, err_rel,
-           jnp.where(stop_now & apply, iteration, 0))
+    stop_mark = jnp.where(stop_now & apply, iteration, 0)
+    if lean:
+        rec = (losses_v, stop_mark)
+    else:
+        err, err_rel = _telemetry_norms(params2.xyz, pose_3d_gt)
+        rec = (losses_v, err, err_rel, stop_mark)
     if use_stop:
         new_carry = (params2, opt2, hist8, stopped2)
     else:
@@ -517,7 +536,7 @@ class SceneTrainer:
                                      general)
             return carry, view_aux
 
-        def make_segment(windows, batched=False):
+        def make_segment(windows, batched=False, lean=False):
             """``windows``: cascade of (win_h, win_w) shapes, tightest
             first — each macro step switches to the tightest window that
             covers every view's union bbox, else the full-frame kernel.
@@ -526,7 +545,16 @@ class SceneTrainer:
             ``batched``: leading scene axis on carry/inputs. The window
             switch is hoisted ABOVE the scene/view vmaps in both modes (a
             vmapped cond executes every branch), so the batched path conds
-            on all-scenes-all-views-fit per macro step."""
+            on all-scenes-all-views-fit per macro step.
+
+            ``lean``: the scan stacks NO per-macro telemetry (the
+            err/err_rel norms and the dynamic-update-slice rows were ~2
+            µs of every macro step on the device profile); the last
+            losses row, last stop mark and the running stop-iteration
+            max ride the carry instead, and the caller reconstructs the
+            one-row recs (bitwise the full history's last row — see
+            compose_macro). Returns (carry, (losses_last, mark_last,
+            stop_max)) instead of (carry, recs)."""
 
             def segment(carry, view_aux, poses_2d, cameras, pose_3d_gt,
                         spatial_lr_scale, k0, n_macro):
@@ -631,12 +659,30 @@ class SceneTrainer:
                     cm = lambda c, lv, gv, gt, ext: compose_macro(
                         self.adam, V_accum, nviews, use_stop, general,
                         c, k, lv, gv, idxs, gt, ext,
-                        view_fusion=self.settings.view_fusion)
+                        view_fusion=self.settings.view_fusion, lean=lean)
                     if batched:
                         return jax.vmap(cm)(carry, losses_v, grads_v,
                                             pose_3d_gt, spatial_lr_scale)
                     return cm(carry, losses_v, grads_v, pose_3d_gt,
                               spatial_lr_scale)
+
+                if lean:
+                    # thread the last row through the carry: no ys, no
+                    # per-macro dynamic-update-slice stacking
+                    def scan_body(c3, k):
+                        carry, _ll, _lm, smax = c3
+                        carry, rec = macro_step(carry, k)
+                        return (carry, rec[0], rec[1],
+                                jnp.maximum(smax, rec[1])), ()
+
+                    lead = (poses_2d.shape[0],) if batched else ()
+                    ll0 = jnp.zeros(lead + (V_accum,), jnp.float32)
+                    lm0 = jnp.zeros(lead, jnp.int32)
+                    c3, _ = jax.lax.scan(
+                        scan_body, (carry, ll0, lm0, lm0),
+                        k0 + jnp.arange(n_macro))
+                    carry, losses_last, mark_last, stop_max = c3
+                    return carry, (losses_last, mark_last, stop_max)
 
                 carry, recs = jax.lax.scan(
                     macro_step, carry, k0 + jnp.arange(n_macro))
@@ -650,6 +696,9 @@ class SceneTrainer:
 
         segment = make_segment(self._pallas_win)
         segment_b = make_segment(self._pallas_win, batched=True)
+        segment_lean = make_segment(self._pallas_win, lean=True)
+        segment_b_lean = make_segment(self._pallas_win, batched=True,
+                                      lean=True)
         prepare_b = jax.vmap(prepare)
 
         def make_run_full(lean: bool):
@@ -660,24 +709,33 @@ class SceneTrainer:
             steady-state sweep). ``hist8`` seeds the cross-scene stopper
             window (pass the +inf default when there is no carry — it
             equals prepare's own init). ``lean`` reduces telemetry to its
-            last row on-device (see the chain variant)."""
+            last row, computed WITHOUT per-macro stacking (the lean
+            segment threads it through the carry and the err/err_rel
+            norms run once on the final params — bitwise the full
+            history's last row, see make_segment/compose_macro)."""
             def run_full(initial_pose, poses_2d, cameras, drop_mask,
                          pose_3d_gt, extent, hist8):
                 carry, view_aux = prepare(initial_pose, poses_2d, cameras,
                                           drop_mask)
                 if use_stop:
                     carry = (carry[0], carry[1], hist8) + carry[3:]
-                carry, recs = segment(carry, view_aux, poses_2d, cameras,
-                                      pose_3d_gt, extent,
-                                      jnp.asarray(0, jnp.int32),
-                                      self.n_macro)
+                seg = segment_lean if lean else segment
+                carry, recs = seg(carry, view_aux, poses_2d, cameras,
+                                  pose_3d_gt, extent,
+                                  jnp.asarray(0, jnp.int32),
+                                  self.n_macro)
+                if lean:
+                    losses_last, mark_last, stop_max = recs
+                    err, err_rel = _telemetry_norms(carry[0].xyz,
+                                                    pose_3d_gt)
+                    recs = (losses_last[None], err[None], err_rel[None],
+                            mark_last[None])
+                    return carry, recs, stop_max
                 # reduce stopped_at INSIDE the program: a host-side
                 # jnp.max after the dispatch is an extra eager program
                 # (= one more RPC round-trip per scene through remote
                 # tunnels)
                 stop_max = jnp.max(recs[3])
-                if lean:
-                    recs = jax.tree.map(lambda x: x[-1:], recs)
                 return carry, recs, stop_max
 
             return run_full
@@ -698,13 +756,19 @@ class SceneTrainer:
                                             drop_b)
                 if use_stop:
                     carry = (carry[0], carry[1], hist8_b) + carry[3:]
-                carry, recs = segment_b(carry, view_aux, poses_2d_b,
-                                        cams_b, gt_b, extent_b,
-                                        jnp.asarray(0, jnp.int32),
-                                        self.n_macro)
-                stop_b = jnp.max(recs[3], axis=1)
+                seg = segment_b_lean if lean else segment_b
+                carry, recs = seg(carry, view_aux, poses_2d_b,
+                                  cams_b, gt_b, extent_b,
+                                  jnp.asarray(0, jnp.int32),
+                                  self.n_macro)
                 if lean:
-                    recs = jax.tree.map(lambda x: x[:, -1:], recs)
+                    losses_last, mark_last, stop_b = recs
+                    err, err_rel = jax.vmap(_telemetry_norms)(
+                        carry[0].xyz, gt_b)
+                    recs = (losses_last[:, None], err[:, None],
+                            err_rel[:, None], mark_last[:, None])
+                    return carry, recs, stop_b
+                stop_b = jnp.max(recs[3], axis=1)
                 return carry, recs, stop_b
 
             return run_full_b
@@ -723,18 +787,20 @@ class SceneTrainer:
             plus the final hist8 for the next group's seed.
 
             ``lean``: reduce the per-macro telemetry to its LAST row
-            on-device (K=1). The driver reads only that row when TB
-            logging is off, and the full (K, ·) history dominates the
-            result fetch through remote tunnels (~19 KB/scene vs ~0.3:
-            the fetch is bandwidth-, not just latency-, bound). Params,
+            on-device (K=1), via the lean run_full (no per-macro
+            err/err_rel or stacking — the row is threaded through the
+            scan carry). The driver reads only that row when TB logging
+            is off, and the full (K, ·) history dominates the result
+            fetch through remote tunnels (~19 KB/scene vs ~0.3: the
+            fetch is bandwidth-, not just latency-, bound). Params,
             stopped_at and hist8 are untouched — the last telemetry row
             is bitwise the full variant's."""
+            rf = make_run_full(lean)
+
             def body(h8, xs):
                 init_s, p2d_s, cams_s, drop_s, gt_s, ext_s = xs
-                carry, recs, stop_max = run_full(init_s, p2d_s, cams_s,
-                                                 drop_s, gt_s, ext_s, h8)
-                if lean:
-                    recs = jax.tree.map(lambda x: x[-1:], recs)
+                carry, recs, stop_max = rf(init_s, p2d_s, cams_s,
+                                           drop_s, gt_s, ext_s, h8)
                 h8_next = carry[2] if use_stop else h8
                 return h8_next, (carry[0], recs, stop_max)
 

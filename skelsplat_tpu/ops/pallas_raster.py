@@ -60,6 +60,17 @@ LANES = 128        # last-dim padding quantum
 #   rect_min_x, rect_min_y, rect_max_x, rect_max_y, B, width, height,
 #   gt_row_lo, gt_row_hi, col_slice_start]
 PACK = 16
+
+# REJECTED (round 4, measured ON CHIP): running the per-macro p1 depth
+# permute as a precision=HIGH one-hot matmul on 2^48-prescaled profiles.
+# The theory assumed HIGH is a 3-term bf16 split (24 mantissa bits — would
+# be exact once prescaling lifts entries out of the subnormal zone); the
+# on-chip probe measured max rel error 1.4949e-5 ≈ 2^-16 on prescaled
+# NORMAL inputs — HIGH is a 2-term split (16 mantissa bits) on this TPU
+# generation and can NEVER reproduce f32's 24-bit mantissa. Exactness of
+# the depth permute is a parity invariant (the kernel gt chain must round
+# identically), so the permute stays at HIGHEST (6-pass, exact for all
+# f32). See PERF.md round-4 rejections.
 IDX_PX, IDX_PY, IDX_CA, IDX_CB, IDX_CC, IDX_OPA = 0, 1, 2, 3, 4, 5
 IDX_RX0, IDX_RY0, IDX_RX1, IDX_RY1, IDX_B, IDX_W, IDX_H = 6, 7, 8, 9, 10, 11, 12
 IDX_GY0, IDX_GY1, IDX_C0 = 13, 14, 15
@@ -782,7 +793,10 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     # depth-order permutation as one-hot f32 matmuls at HIGHEST precision:
     # bitwise-identical to gathers (each output row/lane is 1.0·x plus
     # exact zeros) but ONE MXU op instead of a gather + its scatter-add
-    # VJP — the gathers dominated the per-macro XLA soup on TPU
+    # VJP — the gathers dominated the per-macro XLA soup on TPU. HIGHEST
+    # (6-pass) is mandatory: HIGH is a 2-term bf16 split (16 mantissa
+    # bits) on this chip — measured 1.5e-5 rel error, see the rejection
+    # note at the top of this file.
     hi = jax.lax.Precision.HIGHEST
     iota_n = jnp.arange(n, dtype=order.dtype)
     Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)

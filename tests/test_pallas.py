@@ -469,3 +469,36 @@ def test_window_config_auto_tier_rows(monkeypatch):
         vmem = 4 * (2 * 19 * rw * (sw or ww) + 3 * rw * ww
                     + 1088 * 128 + 19 * 1920)
         assert vmem <= 13.5 * 2**20 and wh % rw == 0
+
+
+def test_onehot_permute_highest_exact_hostile():
+    """The precision=HIGHEST one-hot lane permute is bitwise a gather for
+    every NORMAL f32 and zero — tiny-normal / huge / odd-mantissa values
+    included. This is the exactness invariant the per-macro depth permutes
+    rely on (pallas_raster.fused_view_loss_pallas); production profiles
+    are truncated Gaussians (exact zeros outside the support, O(1)-scaled
+    normals inside), never subnormal — and both CPU and TPU matmuls flush
+    subnormal inputs, so subnormals are excluded by construction here.
+    Runs compiled on TPU under SKELSPLAT_TEST_TPU=1, where the f32 matmul
+    emulation actually happens. (The HIGH variant — even with a 2^48
+    prescale — was measured INEXACT on chip at ~2^-16 rel: HIGH is a
+    2-term bf16 split. Rejected, PERF.md round 4.)"""
+    from skelsplat_tpu.ops.pallas_raster import LANES
+
+    rng = np.random.default_rng(7)
+    rows = 256
+    hostile = np.float32([2.0**-126, 2.0**-120, 1e-30, 0.0, 1.0,
+                          1 + 2.0**-23, 1e20, 2.0**30, 2.0**100])
+    x = rng.choice(hostile, size=(rows, LANES)).astype(np.float32)
+    x += rng.standard_normal((rows, LANES)).astype(np.float32) \
+        * rng.choice(hostile, size=(rows, LANES)).astype(np.float32)
+    x = np.where(np.abs(x) < np.float32(2.0**-126), np.float32(0.0),
+                 x).astype(np.float32)   # flush subnormals (FTZ on-chip)
+
+    order = rng.permutation(LANES)
+    PL = (np.arange(LANES)[:, None] == order[None, :]).astype(np.float32)
+
+    out = np.asarray(jax.jit(
+        lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST))(
+        jnp.asarray(x), jnp.asarray(PL)))
+    np.testing.assert_array_equal(out, x[:, order])
