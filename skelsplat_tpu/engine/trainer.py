@@ -387,9 +387,11 @@ class SceneTrainer:
             # per-program overhead) — the env override can force more.
             stack_w = sw or ww
             for r in (2 * ROWS, ROWS):
+                # inker_h=wh sizes for the default in-kernel p1 permute
+                # (conservative when SKELSPLAT_PALLAS_PERMUTE=xla)
                 if wh % r == 0 and bwd_vmem_bytes(
                         n, r, stack_w, ww, H_pad, W_pad,
-                        2) <= VMEM_BUDGET_BYTES:
+                        2, wh) <= VMEM_BUDGET_BYTES:
                     return r
             return ROWS
 

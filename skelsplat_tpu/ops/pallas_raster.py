@@ -80,6 +80,14 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
+def _preprocess_mode():
+    """"kernel" (default) runs the EWA preprocess + gauss-pack assembly
+    as one Pallas kernel with an analytic adjoint
+    (ops/pallas_preprocess.py); SKELSPLAT_PALLAS_PREPROCESS=xla restores
+    the jnp closed-form path."""
+    return _os.environ.get("SKELSPLAT_PALLAS_PREPROCESS", "xla")
+
+
 def _base_geometry(y0f, rows, cw):
     """Shared per-program block geometry: ys/tile_y (column-invariant) and
     ZERO-offset xs/tile_x bases. Every slot's absolute coordinates are the
@@ -160,8 +168,36 @@ def _slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off):
     return slice(None), slice(None), jnp.float32(0.0), w_pad
 
 
-def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, g_ref, p1_ref, p2_ref,
-                offs_ref, out_ref, T_ref):
+def _p1_col(p1_ref, p1s_ref, row0, r_off, rows, i):
+    """Slot ``i``'s (rows, 1) GT row-profile column for the band at
+    ``row0``: from the in-kernel permuted WINDOW scratch (default —
+    scratch rows are window-relative, hence ``row0 - r_off``), or from
+    the externally permuted FULL p1 (SKELSPLAT_PALLAS_PERMUTE=xla)."""
+    if p1s_ref is not None:
+        return p1s_ref[pl.ds(row0 - r_off, rows), i:i + 1]
+    return p1_ref[pl.ds(row0, rows), i:i + 1]
+
+
+def _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off):
+    """Program 0 permutes the WINDOW rows of the unpermuted p1 into VMEM
+    scratch with ONE one-hot dot at HIGHEST (bitwise the external XLA
+    permute row-for-row — each output element is its own row's K=128
+    contraction). Later programs reuse the scratch: the TPU grid is
+    sequential and scratch persists across programs (the same property
+    the SMEM out_ref accumulation relies on)."""
+    win_h = p1s_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        p1s_ref[:] = jax.lax.dot_general(
+            p1_ref[pl.ds(r_off, win_h), :], pl_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, g_ref, p1_ref,
+                p2_ref, offs_ref, *rest):
     """g_ref: SMEM (n, PACK); p1_ref: VMEM (H_pad, 128) FULL lane-per-slot
     row profiles (each program reads its own band — pre-slicing the
     window in XLA cost an unrolled while loop per view under vmap);
@@ -189,13 +225,28 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, g_ref, p1_ref, p2_ref,
     slot's gt>0 loss contributions — the reason full-band death essentially
     never pays on skeleton splats). The aliveness test is itself a
     slot-sized reduction, which is the probe's cost.
+
+    ``inker`` (the default; SKELSPLAT_PALLAS_PERMUTE=xla disables) — p1
+    arrives UNPERMUTED plus the one-hot lane permutation PL as an extra
+    VMEM input; program 0 permutes the window rows into scratch with one
+    dot (see _inkernel_permute) and slot reads come from the scratch.
+    Bitwise the external permute; trades the external (H_pad, 128) matmul
+    op + its HBM round-trip for a window-rows-only in-kernel dot
+    (measured 0.0163 vs 0.0168 s/frame on the headline sweep).
     """
+    if inker:
+        pl_ref, out_ref, T_ref, p1s_ref = rest
+    else:
+        out_ref, T_ref = rest
+        pl_ref = p1s_ref = None
     rows, w_pad = T_ref.shape
     p2_w = p2_ref.shape[1]
     r_off = offs_ref[0, 0].astype(jnp.int32)
     c_off = offs_ref[0, 1].astype(jnp.int32)
     row0 = r_off + pl.program_id(0) * rows
     y0f = row0.astype(jnp.float32)
+    if inker:
+        _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off)
 
     # TPU grid programs run sequentially: the shared SMEM output block is
     # zeroed by the first program and accumulated by all of them.
@@ -239,7 +290,7 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, g_ref, p1_ref, p2_ref,
             live = gate & ge
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
-            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+            gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
                   * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
@@ -253,16 +304,15 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, g_ref, p1_ref, p2_ref,
         def _(i=i, cols_p2=cols_p2, c0f=c0f):
             xs = xs0 + (offs_ref[0, 1] + c0f)
             in_img = in_rows & (xs < g_ref[0, IDX_W])
-            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+            gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
                   * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
-def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
-                g_ref, p1_ref, p2_ref, offs_ref, out_ref, dg_ref, T_ref,
-                al_ref, Ti_ref, sfx_ref, *gstack_refs):
+def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
+                g_ref, p1_ref, p2_ref, offs_ref, *rest):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
@@ -285,14 +335,27 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
     With ``slot_w`` set, every per-slot vector op (both passes, including
     the scratch stacks, sized (n, ROWS, slot_w)) runs over the slot's
     column slice; the T/done/suffix chains stay full-width so cross-slot
-    coupling at shared pixels is preserved exactly."""
-    gh_ref, E_ref = gstack_refs if gstacks else (None, None)
+    coupling at shared pixels is preserved exactly.
+
+    ``inker``: see _fwd_kernel — PL input after offs, window-permuted p1
+    scratch appended after the gstacks."""
+    idx = 0
+    pl_ref = None
+    if inker:
+        pl_ref, idx = rest[0], 1
+    out_ref, dg_ref, T_ref, al_ref, Ti_ref, sfx_ref = rest[idx:idx + 6]
+    idx += 6
+    gh_ref, E_ref = (rest[idx], rest[idx + 1]) if gstacks else (None, None)
+    idx += 2 if gstacks else 0
+    p1s_ref = rest[idx] if inker else None
     rows, w_pad = T_ref.shape
     p2_w = p2_ref.shape[1]
     r_off = offs_ref[0, 0].astype(jnp.int32)
     c_off = offs_ref[0, 1].astype(jnp.int32)
     row0 = r_off + pl.program_id(0) * rows
     y0f = row0.astype(jnp.float32)
+    if inker:
+        _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -339,7 +402,7 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
             live = gate & ge
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
-            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+            gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
                   * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
@@ -359,7 +422,7 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
         def _(i=i, cols_p2=cols_p2, c0f=c0f):
             xs = xs0 + (offs_ref[0, 1] + c0f)
             in_img = in_rows & (xs < g_ref[0, IDX_W])
-            gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+            gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
                   * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
@@ -389,7 +452,7 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
                 # exactly (α is live-masked, so r and mask match pass 1
                 # bit-for-bit)
                 r = jnp.clip(a_i * T_i, 0.0, 1.0)
-                gt = (p1_ref[pl.ds(row0, rows), i:i + 1]
+                gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
                       * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
                 mask = ((gt > 0.0) | (r > 0.0)) & in_img
                 ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
@@ -420,12 +483,14 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit,
             sfx_ref[:, cols] = suffix + a_i * T_i * ghat
 
 
-def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
-             win_shape=None):
+def _run_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
+             rows=None, win_shape=None):
     """``p1``/``p2`` are the FULL profiles; ``win_shape`` (win_h, win_w)
     bounds the grid and the chain scratch — the kernel reads its own
     window bands/columns (XLA-side window slicing cost an unrolled while
-    loop per view under vmap)."""
+    loop per view under vmap). ``pl_mat`` (LANES, LANES) one-hot lane
+    permutation enables the in-kernel window permute (p1 arrives
+    UNPERMUTED); None = p1 arrives externally permuted."""
     n = gauss.shape[0]
     rows = ROWS if rows is None else rows
     win_h, win_w = win_shape if win_shape is not None \
@@ -433,9 +498,10 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
     n_prog = win_h // rows
     band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
         not in ("", "0", "off")
+    inker = pl_mat is not None
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n, l1, slot_w, band_exit),
+        functools.partial(_fwd_kernel, n, l1, slot_w, band_exit, inker),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -446,15 +512,16 @@ def _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec(pl_mat.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)] if inker else []),
         out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows, win_w), jnp.float32),   # T (0 = early-out)
-        ],
+        ] + ([pltpu.VMEM((win_h, LANES), jnp.float32)] if inker else []),
         interpret=interpret,
-    )(gauss, p1, p2, offs)
+    )(gauss, p1, p2, offs, *((pl_mat,) if inker else ()))
     return out[0, 0], out[0, 1]
 
 
@@ -462,21 +529,26 @@ VMEM_BUDGET_BYTES = int(13.5 * 2**20)  # of the ~16 MiB scoped limit
 
 
 def bwd_vmem_bytes(n: int, rows: int, stack_w: int, win_w: int,
-                   h_pad: int, w_pad: int, n_stacks: int) -> int:
+                   h_pad: int, w_pad: int, n_stacks: int,
+                   inker_h: int = 0) -> int:
     """f32 VMEM bytes of the combined bwd kernel's resident state:
     ``n_stacks`` per-slot (n, rows, stack_w) stacks + 2 (rows, win_w)
     chains (T with the early-out encoded as 0, and the suffix) + the
-    FULL resident profiles + the SMEM-ish pack. The trainer's tier_rows
-    sizes row bands against the 2-stack form; ``_run_bwd`` upgrades to
-    4 stacks (ghat/E, skipping pass 2's recompute) only when this still
-    fits, so the upgrade can never break a tier the 2-stack budget
-    admitted."""
+    FULL resident profiles + the SMEM-ish pack. ``inker_h`` (the window
+    height) adds the in-kernel-permute state — the (inker_h, LANES)
+    permuted-window scratch plus the (LANES, LANES) PL input — the
+    default permute mode, so the trainer sizes with it unconditionally.
+    The trainer's tier_rows sizes row bands against the 2-stack form;
+    ``_run_bwd`` upgrades to 4 stacks (ghat/E, skipping pass 2's
+    recompute) only when this still fits, so the upgrade can never break
+    a tier the 2-stack budget admitted."""
     return 4 * (n_stacks * n * rows * stack_w + 2 * rows * win_w
-                + h_pad * LANES + n * w_pad + n * PACK)
+                + h_pad * LANES + n * w_pad + n * PACK
+                + inker_h * LANES + (LANES * LANES if inker_h else 0))
 
 
-def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
-             win_shape=None):
+def _run_bwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
+             rows=None, win_shape=None):
     """Combined forward+backward pass: returns (S, C, dg)."""
     n = gauss.shape[0]
     rows = ROWS if rows is None else rows
@@ -484,16 +556,19 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
         else (p1.shape[0], p2.shape[1])
     n_prog = win_h // rows
     stack_w = win_w if (slot_w is None or slot_w >= win_w) else slot_w
+    inker = pl_mat is not None
     force = _os.environ.get("SKELSPLAT_PALLAS_GHAT", "")
     gstacks = (bwd_vmem_bytes(n, rows, stack_w, win_w, p1.shape[0],
-                              p2.shape[1], 4) <= VMEM_BUDGET_BYTES
+                              p2.shape[1], 4,
+                              win_h if inker else 0) <= VMEM_BUDGET_BYTES
                if force == "" else force not in ("0", "off"))
     stacks = [pltpu.VMEM((n, rows, stack_w), jnp.float32)] \
         * (4 if gstacks else 2)
     band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
         not in ("", "0", "off")
     out, dg = pl.pallas_call(
-        functools.partial(_bwd_kernel, n, l1, slot_w, gstacks, band_exit),
+        functools.partial(_bwd_kernel, n, l1, slot_w, gstacks, band_exit,
+                          inker),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n, PACK), lambda i: (0, 0),
@@ -504,7 +579,8 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec(pl_mat.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)] if inker else []),
         out_specs=(
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -520,34 +596,35 @@ def _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
             stacks[0],                                   # live-α stack
             stacks[1],                                   # T stack
             pltpu.VMEM((rows, win_w), jnp.float32),      # suffix
-        ] + ([stacks[2], stacks[3]] if gstacks else []),  # ghat, E
+        ] + ([stacks[2], stacks[3]] if gstacks else [])   # ghat, E
+          + ([pltpu.VMEM((win_h, LANES), jnp.float32)] if inker else []),
         interpret=interpret,
-    )(gauss, p1, p2, offs)
+    )(gauss, p1, p2, offs, *((pl_mat,) if inker else ()))
     return out[0, 0], out[0, 1], dg.reshape(n, PACK)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _pallas_S_C(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
-                win_shape=None):
-    return _run_fwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows,
-                    win_shape)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _pallas_S_C(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
+                rows=None, win_shape=None):
+    return _run_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w,
+                    rows, win_shape)
 
 
-def _pallas_fwd(gauss, p1, p2, offs, l1, interpret, slot_w=None, rows=None,
-                win_shape=None):
+def _pallas_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
+                rows=None, win_shape=None):
     # under value_and_grad the COMBINED kernel produces the loss and the
     # screen-space gradients in one launch — the forward-only kernel never
     # runs on the grad path (the adjoint is the cotangent scale below)
-    S, C, dg = _run_bwd(gauss, p1, p2, offs, l1, interpret, slot_w, rows,
-                        win_shape)
-    return (S, C), (dg, p1, p2, offs)
+    S, C, dg = _run_bwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w,
+                        rows, win_shape)
+    return (S, C), (dg, p1, p2, offs, pl_mat)
 
 
 def _pallas_bwd(l1, interpret, slot_w, rows, win_shape, res, cot):
-    dg, p1, p2, offs = res
+    dg, p1, p2, offs, pl_mat = res
     gS, _ = cot
     return (dg * gS, jnp.zeros_like(p1), jnp.zeros_like(p2),
-            jnp.zeros_like(offs))
+            jnp.zeros_like(offs), jax.tree.map(jnp.zeros_like, pl_mat))
 
 
 _pallas_S_C.defvjp(_pallas_fwd, _pallas_bwd)
@@ -620,11 +697,16 @@ def pallas_view_bbox(params, cam, spec_v, W: int, H: int,
     ``window_bounds_from_bbox`` (pure arithmetic), instead of re-running
     the N-sized preprocess per tier. Non-differentiable (stop_gradient) —
     call OUTSIDE value_and_grad."""
+    if profiles is None:
+        profiles = pallas_view_profiles(spec_v, W, H)
+    if _preprocess_mode() == "kernel":
+        from skelsplat_tpu.ops import pallas_preprocess as ppk
+        _, bbox = ppk.preprocess_pack_view(
+            params, cam, spec_v, profiles, W, H, antialiasing)
+        return bbox
     pp = rasterizer.preprocess_gaussians(
         params.xyz, params.covariance(), params.opacity, cam, W, H,
         antialiasing)
-    if profiles is None:
-        profiles = pallas_view_profiles(spec_v, W, H)
     spans = profiles[3]
 
     ry0 = pp.rect_min[:, 1].astype(jnp.float32) * geometry.BLOCK_Y
@@ -744,63 +826,88 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     if interpret is None:
         interpret = _interpret_default()
     n = params.n_joints
-    cov6 = params.covariance()
-    pp = rasterizer.preprocess_gaussians(
-        params.xyz, cov6, params.opacity, cam, W, H, antialiasing)
-
-    order = jnp.argsort(jnp.where(pp.valid, pp.depth, jnp.inf))
-
     if profiles is None:
         profiles = pallas_view_profiles(spec_v, W, H)
     p1_lane, p2, B, spans = profiles
-
-    # channel-aligned slot data, built as ONE column stack (a chain of
-    # .at[].set scatters costs ~10 us/macro of tiny scatter ops on TPU)
-    opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
-    rect = jax.lax.stop_gradient(jnp.concatenate(
-        [pp.rect_min, pp.rect_max], axis=1).astype(jnp.float32))
-
-    # per-slot 128-aligned column-slice starts (IDX_C0), in UNSORTED joint
-    # order (every input is per-joint, so computing before the depth sort
-    # is equivalent); only meaningful when slot slicing is active
-    if (window is not None and slot_w is not None
-            and slot_w < win_shape[1]):
-        big = jnp.float32(1e9)
-        rx0 = rect[:, 0] * geometry.BLOCK_X
-        rx1 = rect[:, 2] * geometry.BLOCK_X
-        act_r = rx1 > rx0
-        act_g = spans[:, 3] > spans[:, 2]
-        lo = jnp.minimum(jnp.where(act_r, rx0, big),
-                         jnp.where(act_g, spans[:, 2], big))
-        c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
-                      0.0, float(win_shape[1] - slot_w))
-        c0 = jax.lax.stop_gradient(
-            jnp.where(act_r | act_g, c0, 0.0))
-    else:
-        c0 = jnp.zeros((n,), jnp.float32)
-
-    ones = jnp.ones((n,), jnp.float32)
-    gauss = jnp.stack(
-        [pp.pix[:, 0], pp.pix[:, 1],
-         pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
-         rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
-         B, spec_v.width[0] * ones, spec_v.height[0] * ones,
-         # GT row support per slot for the kernel's band culling: gt > 0
-         # requires p1 > 0 (B = −mn/denom ≤ 0), so the nonzero-row span of
-         # the profile is a tight conservative bound (pallas_view_profiles)
-         spans[:, 0], spans[:, 1], c0], axis=1)
-
-    # depth-order permutation as one-hot f32 matmuls at HIGHEST precision:
-    # bitwise-identical to gathers (each output row/lane is 1.0·x plus
-    # exact zeros) but ONE MXU op instead of a gather + its scatter-add
-    # VJP — the gathers dominated the per-macro XLA soup on TPU. HIGHEST
-    # (6-pass) is mandatory: HIGH is a 2-term bf16 split (16 mantissa
-    # bits) on this chip — measured 1.5e-5 rel error, see the rejection
-    # note at the top of this file.
     hi = jax.lax.Precision.HIGHEST
-    iota_n = jnp.arange(n, dtype=order.dtype)
-    Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
-    gauss_s = jnp.matmul(Pn, gauss, precision=hi)
+
+    if _preprocess_mode() == "kernel":
+        # the whole EWA preprocess + pack assembly (incl. the c0 slot
+        # starts) runs as ONE tiny lane-major kernel with an analytic
+        # adjoint — the XLA form below lowers to ~60-90 sub-µs
+        # launch-bound fusions per macro (see ops/pallas_preprocess.py)
+        from skelsplat_tpu.ops import pallas_preprocess as ppk
+        eff_slot = slot_w if (window is not None and slot_w is not None
+                              and slot_w < win_shape[1]) else None
+        G, _ = ppk.preprocess_pack_view(
+            params, cam, spec_v, profiles, W, H, antialiasing,
+            window=window, slot_w=eff_slot,
+            win_w=None if win_shape is None else win_shape[1],
+            interpret=interpret)
+        order = jnp.argsort(G[PACK, :n])
+        iota_n = jnp.arange(n, dtype=order.dtype)
+        Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
+        # sorted pack straight off the kernel's lane-major G: contract
+        # G's lane (joint) axis with the one-hot rows — bitwise the
+        # row-gather, same as the matmul form below
+        gauss_s = jax.lax.dot_general(
+            Pn, G[:PACK, :n], (((1,), (1,)), ((), ())), precision=hi)
+    else:
+        cov6 = params.covariance()
+        pp = rasterizer.preprocess_gaussians(
+            params.xyz, cov6, params.opacity, cam, W, H, antialiasing)
+
+        order = jnp.argsort(jnp.where(pp.valid, pp.depth, jnp.inf))
+
+        # channel-aligned slot data, built as ONE column stack (a chain of
+        # .at[].set scatters costs ~10 us/macro of tiny scatter ops on TPU)
+        opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
+        rect = jax.lax.stop_gradient(jnp.concatenate(
+            [pp.rect_min, pp.rect_max], axis=1).astype(jnp.float32))
+
+        # per-slot 128-aligned column-slice starts (IDX_C0), in UNSORTED
+        # joint order (every input is per-joint, so computing before the
+        # depth sort is equivalent); only meaningful when slot slicing is
+        # active
+        if (window is not None and slot_w is not None
+                and slot_w < win_shape[1]):
+            big = jnp.float32(1e9)
+            rx0 = rect[:, 0] * geometry.BLOCK_X
+            rx1 = rect[:, 2] * geometry.BLOCK_X
+            act_r = rx1 > rx0
+            act_g = spans[:, 3] > spans[:, 2]
+            lo = jnp.minimum(jnp.where(act_r, rx0, big),
+                             jnp.where(act_g, spans[:, 2], big))
+            c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
+                          0.0, float(win_shape[1] - slot_w))
+            c0 = jax.lax.stop_gradient(
+                jnp.where(act_r | act_g, c0, 0.0))
+        else:
+            c0 = jnp.zeros((n,), jnp.float32)
+
+        ones = jnp.ones((n,), jnp.float32)
+        gauss = jnp.stack(
+            [pp.pix[:, 0], pp.pix[:, 1],
+             pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
+             rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+             B, spec_v.width[0] * ones, spec_v.height[0] * ones,
+             # GT row support per slot for the kernel's band culling:
+             # gt > 0 requires p1 > 0 (B = −mn/denom ≤ 0), so the
+             # nonzero-row span of the profile is a tight conservative
+             # bound (pallas_view_profiles)
+             spans[:, 0], spans[:, 1], c0], axis=1)
+
+        # depth-order permutation as one-hot f32 matmuls at HIGHEST
+        # precision: bitwise-identical to gathers (each output row/lane
+        # is 1.0·x plus exact zeros) but ONE MXU op instead of a gather
+        # + its scatter-add VJP — the gathers dominated the per-macro
+        # XLA soup on TPU. HIGHEST (6-pass) is mandatory: HIGH is a
+        # 2-term bf16 split (16 mantissa bits) on this chip — measured
+        # 1.5e-5 rel error, see the rejection note at the top of this
+        # file.
+        iota_n = jnp.arange(n, dtype=order.dtype)
+        Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
+        gauss_s = jnp.matmul(Pn, gauss, precision=hi)
     # lane permute of p1: PL[k, i] = 1 iff k == order[i] (lanes ≥ n zero
     # out — the kernel reads lanes < n only)
     lanes = p1_lane.shape[1]
@@ -839,10 +946,20 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
             raise ValueError(f"kernel height {kern_shape[0]} not a multiple "
                              f"of rows={eff_rows}")
 
-    p1_s = jnp.matmul(p1_lane, PL, precision=hi)
+    # p1 depth permute runs IN-KERNEL by default: the kernel permutes its
+    # own window rows from the unpermuted p1 + PL with one program-0 dot
+    # into VMEM scratch (bitwise the external permute; see
+    # _inkernel_permute). Measured on the headline H36M sweep: 0.0163 vs
+    # 0.0168 s/frame — the window dot is ~half the FLOPs of permuting the
+    # full H_pad profile and skips the permuted profile's HBM round-trip.
+    # SKELSPLAT_PALLAS_PERMUTE=xla restores the external XLA permute op.
+    if _os.environ.get("SKELSPLAT_PALLAS_PERMUTE", "kernel") == "kernel":
+        p1_s, pl_mat = p1_lane, PL
+    else:
+        p1_s, pl_mat = jnp.matmul(p1_lane, PL, precision=hi), None
     p2_s = jnp.matmul(Pn_sg, p2, precision=hi)
 
-    S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs,
+    S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs, pl_mat,
                        loss_function != "l2_gaussian", interpret, slot_w,
                        rows, kern_shape)
     return S / jnp.maximum(C, 1.0)

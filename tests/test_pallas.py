@@ -451,9 +451,10 @@ def test_window_config_auto_tier_rows(monkeypatch):
         assert sw is None or (sw % 128 == 0 and sw < ww)
         stack_w = sw or ww
         # the auto rule's own VMEM budget (incl. the full resident
-        # profiles) must hold for the choice made
+        # profiles and the in-kernel-permute scratch) must hold for the
+        # choice made
         vmem = 4 * (2 * 17 * rw * stack_w + 3 * rw * ww
-                    + 1024 * 128 + 17 * 1024)
+                    + 1024 * 128 + 17 * 1024 + wh * 128 + 128 * 128)
         assert vmem <= 13.5 * 2**20
     # the H36M-scale tier runs 64-row bands (the round-3 continuation win);
     # width 768 absorbs the ≤127-column alignment straddle of ~640-wide
@@ -467,8 +468,43 @@ def test_window_config_auto_tier_rows(monkeypatch):
                        1920, 1080, renderer="pallas")
     for wh, ww, sw, rw in t19._pallas_win:
         vmem = 4 * (2 * 19 * rw * (sw or ww) + 3 * rw * ww
-                    + 1088 * 128 + 19 * 1920)
+                    + 1088 * 128 + 19 * 1920 + wh * 128 + 128 * 128)
         assert vmem <= 13.5 * 2**20 and wh % rw == 0
+
+
+@pytest.mark.parametrize("windowed", [False, True])
+def test_inkernel_permute_variant_bitwise(scene, monkeypatch, windowed):
+    """The default in-kernel p1 permute (program-0 window permute of the
+    unpermuted p1, one HIGHEST dot into VMEM scratch) must be BITWISE the
+    SKELSPLAT_PALLAS_PERMUTE=xla external permute through loss AND grads —
+    both are the same one-hot K=128 contraction per output row, and the
+    scratch persists across the sequential grid programs."""
+    cams, gt, p2d, init, params, spec = scene
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    spec_v = jax.tree.map(lambda x: x[0], spec)
+    kw = {}
+    if windowed:
+        from skelsplat_tpu.ops.pallas_raster import (pallas_view_profiles,
+                                                     pallas_window_bounds)
+        profs = pallas_view_profiles(spec_v, W, H)
+        offs, fits = pallas_window_bounds(params, cam, spec_v, W, H,
+                                          64, 128, profiles=profs)
+        # even a non-covering window is a valid A/B (both variants get the
+        # same window); a real nonzero offset exercises row0 - r_off
+        kw = dict(profiles=profs, window=offs, win_shape=(64, 128))
+
+    def run():
+        return jax.value_and_grad(lambda p: fused_view_loss_pallas(
+            p, cam, spec_v, W, H, **kw))(params)
+
+    monkeypatch.setenv("SKELSPLAT_PALLAS_PERMUTE", "xla")
+    l_ref, g_ref = jax.tree.map(np.asarray, run())
+    monkeypatch.delenv("SKELSPLAT_PALLAS_PERMUTE", raising=False)
+    l_new, g_new = jax.tree.map(np.asarray, run())
+    np.testing.assert_array_equal(l_ref, l_new)
+    for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
+        np.testing.assert_array_equal(getattr(g_ref, nm),
+                                      getattr(g_new, nm), err_msg=nm)
 
 
 def test_onehot_permute_highest_exact_hostile():
