@@ -12,6 +12,18 @@ value_and_grad) plus its autodiff adjoint. On joints-on-lanes (1, 128)
 vectors the whole chain is ~200 VPU flops — one kernel dispatch each
 instead of dozens of fixed-overhead ops.
 
+STATUS (round 4, measured on chip — PERF.md "preprocess Pallas
+kernel"): NEUTRAL on the headline sweep (0.0164 vs 0.0163 s/frame) and
+kept OPT-IN via SKELSPLAT_PALLAS_PREPROCESS=kernel. The kernels
+themselves are cheap (4.3 µs/macro for bbox+fwd+bwd, vs ~10 µs of
+removed fusions) but the input-pack assembly below is ~4-6 µs of new
+XLA glue — a wash. A sublane-major variant with natural-layout inputs
+(zero glue) and the activations folded in measured WORSE (0.0177:
+lane-offset column stores are slow in Mosaic, and Mosaic-vs-XLA
+transcendental drift compounded to ~1 mm over 500 Adam steps) and was
+reverted. Correctness of THIS variant: ≤ 0.0015 mm final-xyz drift
+over full 500-iter runs (on-chip A/B probe).
+
 Layout (n ≤ LANES joints on the lane axis):
   IN  (16, LANES) f32 rows: 0-2 xyz, 3-8 cov6 [xx,xy,xz,yy,yz,zz],
       9 opacity, 10 B, 11-14 GT spans [gy0,gy1,gx0,gx1], 15 pad.
