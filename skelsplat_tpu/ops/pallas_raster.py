@@ -81,10 +81,11 @@ def _interpret_default():
 
 
 def _preprocess_mode():
-    """"kernel" (default) runs the EWA preprocess + gauss-pack assembly
-    as one Pallas kernel with an analytic adjoint
-    (ops/pallas_preprocess.py); SKELSPLAT_PALLAS_PREPROCESS=xla restores
-    the jnp closed-form path."""
+    """Default "xla": the closed-form elementwise jnp preprocess (the
+    production path — the Pallas preprocess kernel measured perf-NEUTRAL
+    on the headline sweep, PERF.md round 4). SKELSPLAT_PALLAS_PREPROCESS=
+    kernel opts into the Pallas EWA preprocess + gauss-pack kernel with
+    its analytic adjoint (ops/pallas_preprocess.py)."""
     return _os.environ.get("SKELSPLAT_PALLAS_PREPROCESS", "xla")
 
 

@@ -8,6 +8,14 @@ with no NaNs. Surviving frames of the 3D/2D predictions and 2D GT are
 written per view, plus one shared 3D GT file, as
 ``poses_filtered_{nviews}.npz``. GT poses are scaled x10 (dm -> cm,
 reference :72-74) at write time.
+
+Intentional divergence from the reference: the x10 GT scaling is keyed to
+the gt2d/gt3d ROLE arguments here, while the reference keys on the
+substring 'gt' appearing in the destination path (reference :74) — so
+with non-default folder names (e.g. a --preds3d_name containing 'gt', or
+a GT folder named without 'gt') the reference would scale different
+files. Role-based scaling is the intended semantics; defaults behave
+identically.
 """
 
 import argparse
