@@ -38,9 +38,12 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true",
                     help="256x256 debug size instead of H36M 1000x1002")
     ap.add_argument("--preset", default="h36m",
-                    choices=["h36m", "panoptic", "op"],
+                    choices=["h36m", "h36m-occ", "panoptic", "op"],
                     help="dataset scale: h36m 1002x1000x17, panoptic "
-                         "1920x1080x19, op (occlusion-person) 1280x720x15")
+                         "1920x1080x19, op (occlusion-person) 1280x720x15, "
+                         "h36m-occ = h36m frames with the occlusion "
+                         "config's scaling_modifier=1.25 plus the dropout "
+                         "experiment (+training.dropout=true) live")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure same-chip scene batching at this "
                          "batch size (throughput mode)")
@@ -50,6 +53,10 @@ def main(argv=None):
                          "measured knee with the lean carry-threaded "
                          "program — 0.0179/0.0169/0.0166 s/frame at "
                          "16/32/64 over 64 timed frames)")
+    ap.add_argument("--sync-fetch", action="store_true",
+                    help="fetch groups on the dispatch thread (the round-4 "
+                         "blocking scheme) instead of the double-buffered "
+                         "fetch thread — A/B knob")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed frame "
                          "into DIR (view with tensorboard/xprof)")
@@ -63,27 +70,50 @@ def main(argv=None):
     from skelsplat_tpu.engine.trainer import SceneTrainer, TrainSettings
 
     presets = {
-        # (W, H, joints, scene_type) — image sizes per dataset_readers.py
-        "h36m": (1002, 1000, 17, "h36m"),
-        "panoptic": (1920, 1080, 19, "panoptic"),
-        "op": (1280, 720, 15, "occlusion-person"),
+        # (W, H, joints, scene_type, scaling_modifier, dropout) — image
+        # sizes per dataset_readers.py; scaling_modifier per
+        # configs/*.yaml (op and h36m-occ ship 1.25 — benching them at
+        # the default 1.0 hid a 10/32-scene full-frame fallback in the
+        # OP cascade, round 5); dropout=True on h36m-occ exercises the
+        # occlusion experiment's channel zeroing (train.py:324,
+        # general_utils.py:267-282)
+        "h36m": (1002, 1000, 17, "h36m", 1.0, False),
+        "h36m-occ": (1002, 1000, 17, "h36m", 1.25, True),
+        "panoptic": (1920, 1080, 19, "panoptic", 1.0, False),
+        "op": (1280, 720, 15, "occlusion-person", 1.25, False),
     }
-    W, H, n_joints, scene_type = presets[args.preset]
+    W, H, n_joints, scene_type, modifier, dropout = presets[args.preset]
     if args.small:
         W, H = 256, 256
 
     n = args.frames + 1
     init, gt, p2d, cams_b = _synthetic_inputs(n, W, H, n_joints=n_joints)
 
-    model = SkeletonModel(scene_type, n_joints, scaling=3.0)
+    model = SkeletonModel(scene_type, n_joints, scaling=3.0,
+                          scaling_modifier=modifier)
     trainer = SceneTrainer(model, OptConfig(iterations=args.iterations),
-                           TrainSettings(), W, H, renderer="auto")
+                           TrainSettings(dropout=dropout), W, H,
+                           renderer="auto")
+
+    if dropout:
+        # the production sweep's per-scene torch global-RNG draw, in
+        # dataset order from the safe_state seed (engine/driver.py)
+        import torch
+
+        from skelsplat_tpu.ops.heatmaps import dropout_masks_torch
+
+        torch.manual_seed(0)
+        nv = p2d.shape[1]
+        dmasks = [dropout_masks_torch(nv, n_joints) for _ in range(n)]
+    else:
+        dmasks = [None] * n
 
     times = []
     for s in range(n):
         t0 = time.perf_counter()
         params, hist = trainer.optimize_scene(init[s], p2d[s], cams_b,
-                                              gt[s], lean=True)
+                                              gt[s], lean=True,
+                                              drop_mask=dmasks[s])
         # fetch the result to the host: on remote-device tunnels
         # block_until_ready alone can return before the work is done, so a
         # benchmark must time through an actual result roundtrip (the sweep
@@ -120,22 +150,41 @@ def main(argv=None):
     sizes = {gsz} | ({tail} if tail else set())
     for sz in sorted(sizes):
         warm = trainer.optimize_scene_chain(
-            [trainer.host_inputs(init[1], p2d[1], cams_b, gt[1])
+            [trainer.host_inputs(init[1], p2d[1], cams_b, gt[1],
+                                 drop_mask=dmasks[1])
              for _ in range(sz)], lean=True)
     fetch_trees(warm)
+    # the group fetch runs on a 1-worker thread (double buffering): the
+    # ~15 ms fetch RPC of group k overlaps the MAIN thread's host_inputs
+    # prep + dispatch of group k+1 — the production driver's scheme
+    # (engine/driver.py _drain). --sync-fetch restores the round-4
+    # blocking fetch for A/B.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(1) if not args.sync_fetch else None
     t0 = time.perf_counter()
-    fetched, pending = [], []
+    fetched, pending, futs = [], [], []
     for g0 in range(1, n, group):
         batch = range(g0, min(g0 + group, n))
         # lean=True: reduce telemetry to its last row on-device — what the
         # production sweep fetches when TB logging is off (the full (K, ·)
         # history is ~19 KB/scene and the tunnel fetch is bandwidth-bound)
         pending.append(trainer.optimize_scene_chain(
-            [trainer.host_inputs(init[s], p2d[s], cams_b, gt[s])
+            [trainer.host_inputs(init[s], p2d[s], cams_b, gt[s],
+                                 drop_mask=dmasks[s])
              for s in batch], lean=True))
         if len(pending) > 1:   # fetch lags one group behind the dispatch
-            fetched.append(fetch_trees(pending.pop(0)))
+            job = pending.pop(0)
+            if pool is None:
+                fetched.append(fetch_trees(job))
+            else:
+                futs.append(pool.submit(fetch_trees, job))
+                while len(futs) > 1:
+                    fetched.append(futs.pop(0).result())
+    fetched += [f.result() for f in futs]
     fetched += [fetch_trees(job) for job in pending]
+    if pool is not None:
+        pool.shutdown()
     assert all(np.isfinite(pg.xyz).all() for pg, _ in fetched)
     value = (time.perf_counter() - t0) / (n - 1)
     print(f"pipelined sweep: {value:.4f} s/frame "

@@ -424,20 +424,35 @@ class SceneTrainer:
             # the batched path is worst hit because ONE straddler drags
             # the whole batch). The extra 128 columns only widen the thin
             # (rows, win_w) chain ops — per-slot work stays slot_w-wide.
+            # Extremity scaling widens splats: the production OP and
+            # h36m-occ configs ship scaling_modifier=1.25, which grows
+            # the per-slot column spans past the modifier-1.0 histograms
+            # the round-3/4 cascades were sized from (measured round 5,
+            # tests/test_cascade_fit.py): OP spans need ≤384 (256 caught
+            # only 22/32 — ten scenes fell to the ~5× full-frame
+            # fallback on config-faithful runs), H36M-class needs 256
+            # except ONE 259-px straddler in 32.
+            mod = self.model.scaling_modifier
             if H_pad <= 1024 and W_pad <= 1024:
                 # H36M class: bodies fit tier 0; mid tiers are ≥75% of
-                # the frame here and pure switch-depth overhead
+                # the frame here and pure switch-depth overhead. At
+                # modifier 1.25 (h36m-occ) slot 256 still catches 31/32
+                # — widening to 384 costs +50% per-body vector work on
+                # EVERY scene vs one scene's ~5× fallback (≈ +12% mean),
+                # so 256 stays.
                 sizes = [(512, 768, 256, None)]
             elif H_pad * W_pad <= 1280 * 768:
                 # Occlusion-Person class (wide ~720p frames): ONE tier
                 # sized from the init-bbox histogram (bodies ≤ ~587×731,
-                # spans ≤ 224, + the ≤63/127 px band/lane straddle →
-                # 704×896 catches 32/32). The old (512,768)+(736,1024)
-                # pair sent 9/32 scenes to the tall tier, whose 736
-                # height forces 32-row bands (not 64-divisible) — 23
-                # bands per view; the single 64-band tier measured
-                # 0.0194 vs 0.0200 s/frame.
-                sizes = [(704, 896, 256, None)]
+                # spans ≤ 224 at modifier 1.0, + the ≤63/127 px
+                # band/lane straddle → 704×896 catches 32/32; at the
+                # config's modifier 1.25 the window dims still catch
+                # 32/32 but spans need slot 384). The old
+                # (512,768)+(736,1024) pair sent 9/32 scenes to the tall
+                # tier, whose 736 height forces 32-row bands (not
+                # 64-divisible) — 23 bands per view; the single 64-band
+                # tier measured 0.0194 vs 0.0200 s/frame.
+                sizes = [(704, 896, 384 if mod > 1.0 else 256, None)]
             else:
                 # Panoptic class and larger. NO 512-row tier: the window
                 # must cover the GT supports too, which are body-sized

@@ -41,17 +41,28 @@ from skelsplat_tpu.ops.pallas_raster import (pallas_view_bbox,
 
 N_SCENES = 32
 
-# (W, H, n_joints, scene_type) — bench.py's preset table
+# (W, H, n_joints, scene_type, scaling_modifier, dropout) — bench.py's
+# preset table. h36m-occ is the occlusion variant (configs/h36m-occ.yaml):
+# same frame class as h36m but scaling_modifier=1.25 (extremity splats 25%
+# wider — the risk direction for tier fits) plus the dropout experiment's
+# channel zeroing (shrinks GT supports — the safe direction); both change
+# the union bboxes the cascade must cover.
 PRESETS = {
-    "h36m": (1002, 1000, 17, "h36m"),
-    "panoptic": (1920, 1080, 19, "panoptic"),
-    "op": (1280, 720, 15, "occlusion-person"),
+    "h36m": (1002, 1000, 17, "h36m", 1.0, False),
+    "h36m-occ": (1002, 1000, 17, "h36m", 1.25, True),
+    "panoptic": (1920, 1080, 19, "panoptic", 1.0, False),
+    "op": (1280, 720, 15, "occlusion-person", 1.25, False),
 }
 
 # perf contract per preset: (min scenes in ANY windowed tier,
 #                            min scenes in the TIGHTEST tier)
 COVERAGE = {
     "h36m": (32, 32),
+    # measured round 5: ONE scene's extremity slot span at modifier 1.25
+    # reaches 259 px (> the 256 slice) and takes the exact full-frame
+    # fallback; widening every slot to 384 (+50% per-body vector work)
+    # costs more than that one scene's ~5× — see trainer._window_config
+    "h36m-occ": (31, 31),
     "op": (32, 32),
     # measured on this replay (round 4): 29 tight / 3 tall / 0 full-frame —
     # better than the pre-rebuild 22/9/1 histogram quoted in the round-3
@@ -62,11 +73,12 @@ COVERAGE = {
 
 
 def _tier_histogram(preset, monkeypatch):
-    W, H, n_joints, scene_type = PRESETS[preset]
+    W, H, n_joints, scene_type, modifier, dropout = PRESETS[preset]
     monkeypatch.delenv("SKELSPLAT_PALLAS_WINDOW", raising=False)
     # renderer="fused" keeps construction CPU-cheap; _window_config is the
     # pure sizing function and does not need the pallas renderer selected
-    tr = SceneTrainer(SkeletonModel(scene_type, n_joints, scaling=3.0),
+    tr = SceneTrainer(SkeletonModel(scene_type, n_joints, scaling=3.0,
+                                    scaling_modifier=modifier),
                       OptConfig(iterations=4), TrainSettings(), W, H,
                       renderer="fused")
     tiers = tr._window_config()
@@ -77,12 +89,22 @@ def _tier_histogram(preset, monkeypatch):
     camsj = jax.tree.map(jnp.asarray, cams_b)
     nv = p2d.shape[1]
 
+    if dropout:
+        # the production sweep's per-scene torch global-RNG draw, in
+        # dataset order from the safe_state seed (heatmaps.py:216)
+        import torch
+
+        torch.manual_seed(0)
+        masks = np.stack([hm.dropout_masks_torch(nv, n_joints)
+                          for _ in range(N_SCENES)])
+    else:
+        masks = np.zeros((N_SCENES, nv, n_joints), bool)
+
     @jax.jit
-    def scene_fits(init_s, p2d_s):
-        params = init_params_jnp(init_s, scene_type, 3.0, 1.0)
+    def scene_fits(init_s, p2d_s, mask_s):
+        params = init_params_jnp(init_s, scene_type, 3.0, modifier)
         spec = hm.heatmap_spec(params.xyz, params.covariance(),
-                               p2d_s, camsj, W, H,
-                               drop_mask=jnp.zeros((nv, n_joints), bool))
+                               p2d_s, camsj, W, H, drop_mask=mask_s)
         bbox = jax.vmap(
             lambda cam, sv: pallas_view_bbox(params, cam, sv, W, H),
             in_axes=(0, 0))(camsj, spec)
@@ -91,7 +113,7 @@ def _tier_histogram(preset, monkeypatch):
 
     counts = np.zeros(len(tiers) + 1, np.int64)  # [+ full-frame bucket]
     for s in range(N_SCENES):
-        fit = np.asarray(scene_fits(init[s], p2d[s]))
+        fit = np.asarray(scene_fits(init[s], p2d[s], jnp.asarray(masks[s])))
         counts[int(np.argmax(fit)) if fit.any() else len(tiers)] += 1
     return tiers, counts
 
