@@ -361,3 +361,94 @@ def test_multichip_slot_sliced_matches_fused(monkeypatch):
         np.testing.assert_allclose(np.asarray(params_b.xyz)[b],
                                    np.asarray(p_ref.xyz),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_stopper_window_reset_divergence(batch):
+    """QUANTIFY the one documented semantic divergence of the mesh path
+    (engine/driver.py _training_multichip): the reference's OptEarlyStopping
+    window is constructed once before the scene loop (train.py:64) and
+    straddles scene boundaries — a serial effect — while the mesh path
+    starts a fresh window per scene in each mesh batch.
+
+    Construction: forced tolerance (every 8-loss window "repeats" once
+    gated) makes the straddle deterministic — the serial path enters scene
+    2+ with a full carried window and stops at ITERATION 1, while the mesh
+    path's fresh windows need 8 losses again. The test measures the stop
+    gap and the end-metric (final xyz) gap that the early freeze causes,
+    and pins both:
+
+      - scene 0 (nothing to straddle): identical stops, both paths;
+      - later scenes: serial stops at 1, mesh at 8 — a 7-iteration gap,
+        the maximum the 8-window can produce at accumulation_steps=4;
+      - the end-metric gap is the cost of those 7 extra Adam iterations
+        FROM the shared iteration-1 state — measured ~3.0 mm mean xyz on
+        this rig (the forced-tol stop freezes the serial scene right at
+        its ~65 mm-error init, so the early steps are the largest of the
+        whole run — the worst case by construction), and strictly TOWARD
+        the ground truth: the mesh path optimizes longer, so its MPJPE is
+        asserted <= serial's. With the production tolerance, windows fire
+        on loss plateaus where params barely move per iteration, so the
+        production-side gap is far smaller than this bound.
+    """
+    import skelsplat_tpu.engine.trainer as trainer_mod
+    from skelsplat_tpu.parallel.mesh import multichip_optimize
+
+    initial_b, gt_b, p2d_b, cams_b = batch
+    model = SkeletonModel("h36m", N_J, scaling=3.0)
+    settings = TrainSettings(consistency_loss="none",
+                             early_stopping="opt_early_stopping")
+    old_tol = trainer_mod.REPEAT_TOL
+    trainer_mod.REPEAT_TOL = 1e6
+    try:
+        trainer = SceneTrainer(model, OptConfig(iterations=16), settings,
+                               W, H, renderer="fused")
+
+        # serial reference: the driver's per-scene loop with hist8 chained
+        hist8, stops_serial, xyz_serial = None, [], []
+        for b in range(2):
+            cams = jax.tree.map(lambda x: x[b], cams_b)
+            p_s, h_s = trainer.optimize_scene(
+                initial_b[b], p2d_b[b], cams, gt_b[b], hist8_init=hist8)
+            hist8 = h_s.hist8
+            stops_serial.append(int(np.asarray(h_s.stopped_at)))
+            xyz_serial.append(np.asarray(p_s.xyz))
+
+        # mesh path: both scenes in ONE batch, fresh windows
+        mesh = make_mesh(2, 4)
+        params_b, hist_b = multichip_optimize(
+            mesh, trainer, initial_b, p2d_b, cams_b, gt_b)
+        stops_mesh = [int(s) for s in np.asarray(hist_b.stopped_at)]
+    finally:
+        trainer_mod.REPEAT_TOL = old_tol
+
+    # scene 0: no carried history on either path -> identical stop
+    assert stops_mesh[0] == stops_serial[0] == 8
+    # scene 1: serial stops at iteration 1 off scene 0's carried tail;
+    # the mesh's fresh window gates until 8 — the documented divergence,
+    # at its maximum (the stop gap can never exceed the 8-loss warm-up)
+    assert stops_serial[1] == 1
+    assert stops_mesh[1] == 8
+    gap_iters = stops_mesh[1] - stops_serial[1]
+    assert 0 < gap_iters <= 8 - 1
+
+    # end-metric cost of the divergence: the gap Adam iterations from the
+    # shared iteration-1 state (~3.0 mm here — the worst case: the forced
+    # tol freezes the serial scene at its ~65 mm-error init where steps
+    # are largest), and strictly TOWARD the ground truth
+    gaps_mm = [float(np.abs(np.asarray(params_b.xyz)[b]
+                            - xyz_serial[b]).mean()) for b in range(2)]
+    assert gaps_mm[0] < 1e-5          # same stop -> same frozen params
+    assert 0.0 < gaps_mm[1] < 10.0, (
+        f"stopper-reset divergence {gaps_mm[1]:.4f} mm mean xyz "
+        f"(stop gap {gap_iters} iterations)")
+    mpjpe = lambda xyz, b: float(np.linalg.norm(
+        xyz - gt_b[b], axis=-1).mean())
+    m_mesh = mpjpe(np.asarray(params_b.xyz)[1], 1)
+    m_serial = mpjpe(xyz_serial[1], 1)
+    assert m_mesh <= m_serial, (
+        "the mesh path optimizes longer past the reset — it must land at "
+        f"or closer to GT (mesh {m_mesh:.3f} vs serial {m_serial:.3f} mm)")
+    print(f"stopper-window reset divergence: stop gap {gap_iters} "
+          f"iterations, xyz gap {gaps_mm[1]:.4f} mm, MPJPE mesh "
+          f"{m_mesh:.3f} vs serial {m_serial:.3f} mm")
