@@ -310,13 +310,30 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
     def _entry_scenes(entry):
         return 1 if entry[0] == "scene" else len(entry[1])
 
-    def _finalize_group(entries):
-        # everything every finalize needs, in ONE device round-trip (each
-        # individual fetch costs a full RPC through remote tunnels)
-        from skelsplat_tpu.engine.trainer import MacroHistory
-        fetched = fetch_trees([
+    # the packed group fetch runs on ONE worker thread (double buffering):
+    # the ~15 ms fetch RPC of group k overlaps the main thread's
+    # host_inputs prep + dispatch of group k+1 — through the tunnel the
+    # fetch wall-clock does not overlap device execution on its own
+    # (measured round 4: group 64 bought the same ~2% this buys, at
+    # double the result latency). Finalization (summary rows, PLY saves,
+    # TB) stays on the main thread in dataset order.
+    from concurrent.futures import ThreadPoolExecutor
+    fetch_pool = ThreadPoolExecutor(1)
+    fetch_futs: list = []   # (entries, future) in dispatch order
+
+    def _submit_group(entries):
+        fut = fetch_pool.submit(fetch_trees, [
             (e[1][2], e[1][3], e[1][4]) if e[0] == "scene" else (e[2], e[3])
             for e in entries])
+        fetch_futs.append((entries, fut))
+
+    def _finalize_fetched(max_pending: int):
+        while len(fetch_futs) > max_pending:
+            entries, fut = fetch_futs.pop(0)
+            _finalize_entries(entries, fut.result())
+
+    def _finalize_entries(entries, fetched):
+        from skelsplat_tpu.engine.trainer import MacroHistory
         for e, f in zip(entries, fetched):
             if e[0] == "scene":
                 params, history, pending_saves = f
@@ -336,15 +353,22 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
                           [(opt_cfg.iterations, params_i)])
 
     def _drain(limit):
-        """Finalize the oldest in-flight entries until at most ``limit``
-        scenes remain, fetching ~fetch_group scenes per round-trip."""
+        """Move the oldest in-flight entries to the fetch thread until at
+        most ``limit`` scenes remain dispatched-but-unsubmitted
+        (~fetch_group scenes per fetch round-trip), then finalize
+        completed fetches on THIS thread — keeping one fetch future
+        pending while the sweep is still dispatching (``limit > 0``), none
+        once it has ended."""
         nonlocal in_flight
+        max_pending = 1 if limit else 0
         while sum(_entry_scenes(e) for e in in_flight) > limit:
             take, count = [], 0
             while in_flight and count < fetch_group:
                 take.append(in_flight.pop(0))
                 count += _entry_scenes(take[-1])
-            _finalize_group(take)
+            _submit_group(take)
+            _finalize_fetched(max_pending)
+        _finalize_fetched(max_pending)
 
     def _finalize(job, params, history, pending_saves):
         nonlocal total_opt_seconds
@@ -519,6 +543,7 @@ def training(dataset, model_group, opt_group, pipe, debug, training_group,
 
     _dispatch_group()
     _drain(0)
+    fetch_pool.shutdown()
 
     # Mean is WALL CLOCK over the sweep: with pipelining the per-scene
     # dispatch→fetch intervals overlap (scene s's fetch happens after scene
