@@ -56,9 +56,20 @@ import os as _os
 ROWS = int(_os.environ.get("SKELSPLAT_PALLAS_ROWS", "32"))
 LANES = 128        # last-dim padding quantum
 
-# gauss pack layout (N, 16): [pix_x, pix_y, conic_a, conic_b, conic_c, opa,
-#   rect_min_x, rect_min_y, rect_max_x, rect_max_y, B, width, height,
-#   gt_row_lo, gt_row_hi, col_slice_start]
+# Slot scalars reach the kernel one of two ways (SKELSPLAT_PALLAS_PACK):
+#  * "xla" (default): the depth-SORTED (N, 16) pack below, with p2
+#    pre-permuted by a HIGHEST one-hot matmul.
+#  * "kernel" (the round-5 zero-glue experiment — measured
+#    neutral-to-slightly-slower on the headline sweep, kept env-gated;
+#    PERF.md round 5): UNSORTED per-quantity SMEM refs — gd (6, N)
+#    differentiated [pix_x, pix_y, conic a/b/c, opa], aux (N, AUX_COLS)
+#    stop-grad [rect4, B, gt_row_lo/hi, col_slice_start] — plus the
+#    depth order; program 0 gathers them into a sorted scratch pack
+#    (bitwise the HIGHEST one-hot sort matmuls this replaces). The true
+#    image (W, H) rides in offs_ref[0, 2:4] there.
+# gauss pack layout (N, 16): [pix_x, pix_y, conic_a, conic_b,
+#   conic_c, opa, rect_min_x, rect_min_y, rect_max_x, rect_max_y, B,
+#   width, height, gt_row_lo, gt_row_hi, col_slice_start]
 PACK = 16
 
 # REJECTED (round 4, measured ON CHIP): running the per-macro p1 depth
@@ -105,28 +116,96 @@ def _base_geometry(y0f, rows, cw):
     return ys, xs0, tile_x0, tile_y
 
 
-def _slot_alpha(g_ref, i, ys, xs, tile_x, tile_y):
-    """α and gate of sorted slot i over the block (forward.cu:346-366).
-    ``g_ref`` is the SMEM gauss pack; reads are scalar loads."""
-    dx = g_ref[i, IDX_PX] - xs
-    dy = g_ref[i, IDX_PY] - ys
-    a, b, c = g_ref[i, IDX_CA], g_ref[i, IDX_CB], g_ref[i, IDX_CC]
+class _Slot:
+    """Per-slot SMEM scalars, read once per body.
+
+    Two sources (``_read_slot``): the legacy depth-SORTED (n, PACK) pack
+    (``g_ref``), or — the zero-glue default — the UNSORTED per-quantity
+    refs plus the depth order (``ord_ref``): the kernel indexes slot rank
+    i's joint as ``idx = ord_ref[0, i]`` and reads every scalar at
+    ``idx``, which is bitwise the HIGHEST one-hot sort matmuls it
+    replaces (each of those was exactly this gather). ``p2i`` is the
+    slot's row index into the (possibly unsorted) p2 profile ref."""
+
+    __slots__ = ("px", "py", "ca", "cb", "cc", "opa", "rx0", "ry0",
+                 "rx1", "ry1", "B", "gy0", "gy1", "c0", "p2i")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+# unsorted aux pack columns (stop-gradient half of the zero-glue inputs)
+AUX_RX0, AUX_RY0, AUX_RX1, AUX_RY1 = 0, 1, 2, 3
+AUX_B, AUX_GY0, AUX_GY1, AUX_C0 = 4, 5, 6, 7
+AUX_COLS = 8
+
+
+# sorted SMEM scratch-pack layout (zero-glue path): columns 0-5 are
+# IDX_PX..IDX_OPA, then the aux columns in AUX order
+SCR_COLS = 6 + AUX_COLS
+
+
+def _assemble_pack(n, ord_ref, gd_ref, aux_ref, p2_ref, g_scr, p2s_ref):
+    """Program 0 gathers the UNSORTED per-quantity inputs into a
+    depth-SORTED scratch pack — n·14 scalar SMEM loads plus n p2 row
+    copies, ONCE per view — so every slot body reads statically (dynamic
+    per-body loads measured +5% on the headline sweep, round 5). The TPU
+    grid is sequential and scratch persists across programs (the same
+    property the in-kernel p1 permute and SMEM out_ref accumulation
+    rely on). The gathers are bitwise the HIGHEST one-hot sort matmuls
+    they replace."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for i in range(n):
+            idx = ord_ref[0, i].astype(jnp.int32)
+            for j in range(6):
+                g_scr[i, j] = gd_ref[j, idx]
+            for j in range(AUX_COLS):
+                g_scr[i, 6 + j] = aux_ref[idx, j]
+            p2s_ref[pl.ds(i, 1), :] = p2_ref[pl.ds(idx, 1), :]
+
+
+def _read_slot(i, g_ref, g_scr):
+    if g_scr is not None:       # zero-glue: the program-0 sorted scratch
+        return _Slot(
+            px=g_scr[i, 0], py=g_scr[i, 1], ca=g_scr[i, 2],
+            cb=g_scr[i, 3], cc=g_scr[i, 4], opa=g_scr[i, 5],
+            rx0=g_scr[i, 6 + AUX_RX0], ry0=g_scr[i, 6 + AUX_RY0],
+            rx1=g_scr[i, 6 + AUX_RX1], ry1=g_scr[i, 6 + AUX_RY1],
+            B=g_scr[i, 6 + AUX_B], gy0=g_scr[i, 6 + AUX_GY0],
+            gy1=g_scr[i, 6 + AUX_GY1], c0=g_scr[i, 6 + AUX_C0], p2i=i)
+    return _Slot(
+        px=g_ref[i, IDX_PX], py=g_ref[i, IDX_PY], ca=g_ref[i, IDX_CA],
+        cb=g_ref[i, IDX_CB], cc=g_ref[i, IDX_CC], opa=g_ref[i, IDX_OPA],
+        rx0=g_ref[i, IDX_RX0], ry0=g_ref[i, IDX_RY0],
+        rx1=g_ref[i, IDX_RX1], ry1=g_ref[i, IDX_RY1],
+        B=g_ref[i, IDX_B], gy0=g_ref[i, IDX_GY0],
+        gy1=g_ref[i, IDX_GY1], c0=g_ref[i, IDX_C0], p2i=i)
+
+
+def _slot_alpha(s, ys, xs, tile_x, tile_y):
+    """α and gate of sorted slot ``s`` over the block (forward.cu:346-366)."""
+    dx = s.px - xs
+    dy = s.py - ys
+    a, b, c = s.ca, s.cb, s.cc
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     E = jnp.exp(power)
-    alpha = jnp.minimum(geometry.ALPHA_MAX, g_ref[i, IDX_OPA] * E)
-    tg = ((tile_x >= g_ref[i, IDX_RX0]) & (tile_x < g_ref[i, IDX_RX1])
-          & (tile_y >= g_ref[i, IDX_RY0]) & (tile_y < g_ref[i, IDX_RY1]))
+    alpha = jnp.minimum(geometry.ALPHA_MAX, s.opa * E)
+    tg = ((tile_x >= s.rx0) & (tile_x < s.rx1)
+          & (tile_y >= s.ry0) & (tile_y < s.ry1))
     gate = (power <= 0.0) & (alpha >= geometry.ALPHA_MIN) & tg
     return alpha, gate, E, dx, dy, power
 
 
-def _band_overlaps(g_ref, i, y0f, rows):
-    """Scalar predicates: does slot i's splat rect / GT support intersect
+def _band_overlaps(s, y0f, rows):
+    """Scalar predicates: does slot ``s``'s splat rect / GT support intersect
     this program's row band [y0, y0+rows)? Tile rects are in tile units."""
-    ry0 = g_ref[i, IDX_RY0] * geometry.BLOCK_Y
-    ry1 = g_ref[i, IDX_RY1] * geometry.BLOCK_Y
+    ry0 = s.ry0 * geometry.BLOCK_Y
+    ry1 = s.ry1 * geometry.BLOCK_Y
     rend = (ry1 > y0f) & (ry0 < y0f + rows)
-    gt = (g_ref[i, IDX_GY1] > y0f) & (g_ref[i, IDX_GY0] < y0f + rows)
+    gt = (s.gy1 > y0f) & (s.gy0 < y0f + rows)
     return rend, gt
 
 
@@ -143,8 +222,15 @@ def _derr(d, l1: bool):
     return jnp.sign(d) if l1 else 2.0 * d
 
 
-def _slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off):
-    """Column slices of slot i: ``(cols_T, cols_p2, c0f, cw)``.
+def _p2_row(p2src, s, cols_p2):
+    """Slot ``s``'s (1, cw) GT column-profile row — a static sorted-row
+    read in both pack modes (the zero-glue path's program 0 gathers the
+    unsorted p2 into sorted scratch once, ``_assemble_pack``)."""
+    return p2src[s.p2i:s.p2i + 1, cols_p2]
+
+
+def _slot_cols(s, slot_w, w_pad, p2_w, c_off):
+    """Column slices of slot ``s``: ``(cols_T, cols_p2, c0f, cw)``.
 
     ``cols_T`` indexes the WINDOW-width chain state (T/done/suffix,
     width ``w_pad``); ``cols_p2`` indexes the FULL-width profile rows
@@ -158,7 +244,7 @@ def _slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off):
     inside its slice, so restricting every vector op to it is exact — it
     just skips columns that would contribute identical zeros."""
     if slot_w is not None and slot_w < w_pad:
-        c0f = g_ref[i, IDX_C0]
+        c0f = s.c0
         c0 = pl.multiple_of(c0f.astype(jnp.int32), LANES)
         cols_p2 = pl.ds(pl.multiple_of(c0 + c_off, LANES), slot_w)
         return pl.ds(c0, slot_w), cols_p2, c0f, slot_w
@@ -197,15 +283,25 @@ def _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off):
             preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, g_ref, p1_ref,
-                p2_ref, offs_ref, *rest):
-    """g_ref: SMEM (n, PACK); p1_ref: VMEM (H_pad, 128) FULL lane-per-slot
-    row profiles (each program reads its own band — pre-slicing the
-    window in XLA cost an unrolled while loop per view under vmap);
-    p2_ref: VMEM (n, W_pad) FULL column profiles; offs_ref: SMEM (1, 2)
-    window origin (row, col) in absolute pixels (zeros when unwindowed);
-    out_ref: SMEM (1, 2). The window extent comes from the T_ref scratch
-    shape: (rows, win_w).
+def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, *args):
+    """Default pack path: g_ref SMEM (n, PACK), depth-sorted, with p2
+    pre-permuted. Zero-glue path (``inpack``, SKELSPLAT_PALLAS_PACK=
+    kernel — measured neutral, env-gated): gd_ref SMEM (6, n) UNSORTED
+    differentiated scalars [px, py, conic a/b/c, opa], aux_ref SMEM
+    (n, AUX_COLS) UNSORTED stop-grad scalars (rect, B, GT row span, slot
+    col start), ord_ref SMEM (1, n) f32 depth order — program 0 gathers
+    them (and the unsorted p2's rows) into sorted scratch
+    (``_assemble_pack``, bitwise the external HIGHEST one-hot sort
+    matmuls this replaces) and every body reads statically.
+
+    p1_ref: VMEM (H_pad, 128) FULL lane-per-slot row profiles (each
+    program reads its own band — pre-slicing the window in XLA cost an
+    unrolled while loop per view under vmap); p2_ref: VMEM (n, W_pad)
+    FULL column profiles; offs_ref: SMEM window origin (row, col) in
+    absolute pixels (zeros when unwindowed) — (1, 2), or (1, 4) with the
+    true image (W, H) appended on the zero-glue path; out_ref: SMEM
+    (1, 2). The window extent comes from the T_ref scratch shape:
+    (rows, win_w).
 
     Per-slot row-band culling: a slot whose splat rect misses this band has
     gate ≡ false here (zero α, unchanged T chain) so its compositing work is
@@ -235,17 +331,30 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, g_ref, p1_ref,
     op + its HBM round-trip for a window-rows-only in-kernel dot
     (measured 0.0163 vs 0.0168 s/frame on the headline sweep).
     """
-    if inker:
-        pl_ref, out_ref, T_ref, p1s_ref = rest
+    if inpack:
+        gd_ref, aux_ref, ord_ref, p1_ref, p2_ref, offs_ref, *rest = args
+        g_ref = None
     else:
-        out_ref, T_ref = rest
-        pl_ref = p1s_ref = None
+        g_ref, p1_ref, p2_ref, offs_ref, *rest = args
+        gd_ref = aux_ref = ord_ref = None
+    pl_ref = rest.pop(0) if inker else None
+    out_ref = rest.pop(0)
+    T_ref = rest.pop(0)
+    if inpack:
+        g_scr, p2s_ref = rest.pop(0), rest.pop(0)
+        p2src = p2s_ref
+    else:
+        g_scr, p2src = None, p2_ref
+    p1s_ref = rest.pop(0) if inker else None
     rows, w_pad = T_ref.shape
-    p2_w = p2_ref.shape[1]
+    p2_w = p2src.shape[1]
     r_off = offs_ref[0, 0].astype(jnp.int32)
     c_off = offs_ref[0, 1].astype(jnp.int32)
     row0 = r_off + pl.program_id(0) * rows
     y0f = row0.astype(jnp.float32)
+    if inpack:
+        _assemble_pack(n, ord_ref, gd_ref, aux_ref, p2_ref, g_scr,
+                       p2s_ref)
     if inker:
         _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off)
 
@@ -268,22 +377,23 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, g_ref, p1_ref,
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     cw0 = slot_w if (slot_w is not None and slot_w < w_pad) else w_pad
     ys, xs0, tx0, tile_y = _base_geometry(y0f, rows, cw0)
-    in_rows = ys < g_ref[0, IDX_H]
+    img_w = offs_ref[0, 2] if inpack else g_ref[0, IDX_W]
+    in_rows = ys < (offs_ref[0, 3] if inpack else g_ref[0, IDX_H])
     for i in range(n):
-        rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
-        cols, cols_p2, c0f, cw = _slot_cols(g_ref, i, slot_w, w_pad,
-                                            p2_w, c_off)
+        s = _read_slot(i, g_ref, g_scr)
+        rend_ov, gt_ov = _band_overlaps(s, y0f, rows)
+        cols, cols_p2, c0f, cw = _slot_cols(s, slot_w, w_pad, p2_w, c_off)
         if band_exit:
             rend_ov = rend_ov & (jnp.max(T_ref[:, cols]) > 0.0)
 
         @pl.when(rend_ov)
-        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
+        def _(i=i, s=s, cols=cols, cols_p2=cols_p2, c0f=c0f):
             x_off = offs_ref[0, 1] + c0f
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
-            in_img = in_rows & (xs < g_ref[0, IDX_W])
+            in_img = in_rows & (xs < img_w)
             T = T_ref[:, cols]
-            alpha, gate, _, _, _, _ = _slot_alpha(g_ref, i, ys, xs,
+            alpha, gate, _, _, _, _ = _slot_alpha(s, ys, xs,
                                                   tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
             test = T * (1.0 - a_i)
@@ -292,7 +402,7 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, g_ref, p1_ref,
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
             gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
-                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
+                  * _p2_row(p2src, s, cols_p2) + s.B)
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
@@ -302,18 +412,18 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, g_ref, p1_ref,
                 gate, jnp.where(ge, test, 0.0), T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i, cols_p2=cols_p2, c0f=c0f):
+        def _(i=i, s=s, cols_p2=cols_p2, c0f=c0f):
             xs = xs0 + (offs_ref[0, 1] + c0f)
-            in_img = in_rows & (xs < g_ref[0, IDX_W])
+            in_img = in_rows & (xs < img_w)
             gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
-                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
+                  * _p2_row(p2src, s, cols_p2) + s.B)
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
 
 
 def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
-                g_ref, p1_ref, p2_ref, offs_ref, *rest):
+                inpack, *args):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
@@ -339,22 +449,40 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
     coupling at shared pixels is preserved exactly.
 
     ``inker``: see _fwd_kernel — PL input after offs, window-permuted p1
-    scratch appended after the gstacks."""
-    idx = 0
-    pl_ref = None
-    if inker:
-        pl_ref, idx = rest[0], 1
-    out_ref, dg_ref, T_ref, al_ref, Ti_ref, sfx_ref = rest[idx:idx + 6]
-    idx += 6
-    gh_ref, E_ref = (rest[idx], rest[idx + 1]) if gstacks else (None, None)
-    idx += 2 if gstacks else 0
-    p1s_ref = rest[idx] if inker else None
+    scratch appended after the gstacks.
+
+    ``inpack``: see _fwd_kernel — unsorted per-quantity refs + depth
+    order instead of the sorted pack; the gradient block is then
+    (1, n*6) in RANK order (offsets 0-5 = IDX_PX..IDX_OPA), unsorted by
+    one tiny XLA gather in the VJP wrapper (no adjoint of IT is ever
+    taken)."""
+    if inpack:
+        gd_ref, aux_ref, ord_ref, p1_ref, p2_ref, offs_ref, *rest = args
+        g_ref = None
+    else:
+        g_ref, p1_ref, p2_ref, offs_ref, *rest = args
+        gd_ref = aux_ref = ord_ref = None
+    pl_ref = rest.pop(0) if inker else None
+    out_ref, dg_ref = rest.pop(0), rest.pop(0)
+    T_ref, al_ref = rest.pop(0), rest.pop(0)
+    Ti_ref, sfx_ref = rest.pop(0), rest.pop(0)
+    gh_ref, E_ref = (rest.pop(0), rest.pop(0)) if gstacks \
+        else (None, None)
+    if inpack:
+        g_scr, p2s_ref = rest.pop(0), rest.pop(0)
+        p2src = p2s_ref
+    else:
+        g_scr, p2src = None, p2_ref
+    p1s_ref = rest.pop(0) if inker else None
     rows, w_pad = T_ref.shape
-    p2_w = p2_ref.shape[1]
+    p2_w = p2src.shape[1]
     r_off = offs_ref[0, 0].astype(jnp.int32)
     c_off = offs_ref[0, 1].astype(jnp.int32)
     row0 = r_off + pl.program_id(0) * rows
     y0f = row0.astype(jnp.float32)
+    if inpack:
+        _assemble_pack(n, ord_ref, gd_ref, aux_ref, p2_ref, g_scr,
+                       p2s_ref)
     if inker:
         _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off)
 
@@ -370,13 +498,16 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
     # changes; the live-masked α stack is what carries liveness across.
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     rends = []
-    slot_cols = [_slot_cols(g_ref, i, slot_w, w_pad, p2_w, c_off)
+    slots = [_read_slot(i, g_ref, g_scr) for i in range(n)]
+    slot_cols = [_slot_cols(slots[i], slot_w, w_pad, p2_w, c_off)
                  for i in range(n)]
     cw0 = slot_w if (slot_w is not None and slot_w < w_pad) else w_pad
     ys, xs0, tx0, tile_y = _base_geometry(y0f, rows, cw0)
-    in_rows = ys < g_ref[0, IDX_H]
+    img_w = offs_ref[0, 2] if inpack else g_ref[0, IDX_W]
+    in_rows = ys < (offs_ref[0, 3] if inpack else g_ref[0, IDX_H])
     for i in range(n):
-        rend_ov, gt_ov = _band_overlaps(g_ref, i, y0f, rows)
+        s = slots[i]
+        rend_ov, gt_ov = _band_overlaps(s, y0f, rows)
         cols, cols_p2, c0f, cw = slot_cols[i]
         if band_exit:
             # measurement probe (see _fwd_kernel): a slot whose slice is
@@ -389,14 +520,14 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
         Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
 
         @pl.when(rend_ov)
-        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
+        def _(i=i, s=s, cols=cols, cols_p2=cols_p2, c0f=c0f):
             x_off = offs_ref[0, 1] + c0f
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
-            in_img = in_rows & (xs < g_ref[0, IDX_W])
+            in_img = in_rows & (xs < img_w)
             T = T_ref[:, cols]
             alpha, gate, E, dx, dy, power = _slot_alpha(
-                g_ref, i, ys, xs, tile_x, tile_y)
+                s, ys, xs, tile_x, tile_y)
             a_i = jnp.where(gate, alpha, 0.0)
             test = T * (1.0 - a_i)
             ge = test >= geometry.T_MIN
@@ -404,7 +535,7 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
             contrib = jnp.where(live, a_i * T, 0.0)
             r = jnp.clip(contrib, 0.0, 1.0)
             gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
-                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
+                  * _p2_row(p2src, s, cols_p2) + s.B)
             mask = ((gt > 0.0) | (r > 0.0)) & in_img
             d = r - gt
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(d, l1), 0.0))
@@ -420,11 +551,11 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
                 gate, jnp.where(ge, test, 0.0), T)
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
-        def _(i=i, cols_p2=cols_p2, c0f=c0f):
+        def _(i=i, s=s, cols_p2=cols_p2, c0f=c0f):
             xs = xs0 + (offs_ref[0, 1] + c0f)
-            in_img = in_rows & (xs < g_ref[0, IDX_W])
+            in_img = in_rows & (xs < img_w)
             gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
-                  * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
+                  * _p2_row(p2src, s, cols_p2) + s.B)
             mask = (gt > 0.0) & in_img
             out_ref[0, 0] += jnp.sum(jnp.where(mask, _err(gt, l1), 0.0))
             out_ref[0, 1] += jnp.sum(mask.astype(jnp.float32))
@@ -432,10 +563,11 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
     # pass 2 (reverse): suffix in scratch; gradients only for band slots
     sfx_ref[:] = jnp.zeros((rows, w_pad), jnp.float32)
     for i in range(n - 1, -1, -1):
+        s = slots[i]
         cols, cols_p2, c0f, cw = slot_cols[i]
 
         @pl.when(rends[i])
-        def _(i=i, cols=cols, cols_p2=cols_p2, c0f=c0f):
+        def _(i=i, s=s, cols=cols, cols_p2=cols_p2, c0f=c0f):
             x_off = offs_ref[0, 1] + c0f
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
@@ -445,21 +577,21 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
             if gstacks:
                 ghat = gh_ref[i]
                 E = E_ref[i]
-                dx = g_ref[i, IDX_PX] - xs
-                dy = g_ref[i, IDX_PY] - ys
+                dx = s.px - xs
+                dy = s.py - ys
             else:
-                in_img = in_rows & (xs < g_ref[0, IDX_W])
+                in_img = in_rows & (xs < img_w)
                 # recompute ∂S/∂contrib from the stacks: contrib = α·T
                 # exactly (α is live-masked, so r and mask match pass 1
                 # bit-for-bit)
                 r = jnp.clip(a_i * T_i, 0.0, 1.0)
                 gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
-                      * p2_ref[i:i + 1, cols_p2] + g_ref[i, IDX_B])
+                      * _p2_row(p2src, s, cols_p2) + s.B)
                 mask = ((gt > 0.0) | (r > 0.0)) & in_img
                 ghat = jnp.where(mask & live, _derr(r - gt, l1), 0.0)
                 # recompute E, dx, dy (cheaper than a third stack when
                 # VMEM is tight)
-                _, _, E, dx, dy, _ = _slot_alpha(g_ref, i, ys, xs,
+                _, _, E, dx, dy, _ = _slot_alpha(s, ys, xs,
                                                  tile_x, tile_y)
             suffix = sfx_ref[:, cols]
             dalpha = jnp.where(
@@ -468,15 +600,15 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
             # the clamp unconditionally (backward.cu:619 dL_dG=opa·dL_dα,
             # :635 dL_dopacity=G·dL_dα) — so dα/dpower is the UNCLAMPED
             # product opa·E, with no clamp gate on dalpha.
-            dpower = dalpha * (g_ref[i, IDX_OPA] * E)
-            a_c = g_ref[i, IDX_CA]
-            b_c = g_ref[i, IDX_CB]
-            c_c = g_ref[i, IDX_CC]
-            base = i * PACK
+            dpower = dalpha * (s.opa * E)
+            # rank-ordered 6-wide block on the zero-glue path (offsets
+            # 0-5 are IDX_PX..IDX_OPA in both layouts; the VJP wrapper
+            # unsorts with one gather), PACK-strided on the legacy path
+            base = i * (6 if inpack else PACK)
             dg_ref[0, base + IDX_PX] += jnp.sum(
-                dpower * (-a_c * dx - b_c * dy))
+                dpower * (-s.ca * dx - s.cb * dy))
             dg_ref[0, base + IDX_PY] += jnp.sum(
-                dpower * (-c_c * dy - b_c * dx))
+                dpower * (-s.cc * dy - s.cb * dx))
             dg_ref[0, base + IDX_CA] += jnp.sum(dpower * (-0.5 * dx * dx))
             dg_ref[0, base + IDX_CB] += jnp.sum(dpower * (-dx * dy))
             dg_ref[0, base + IDX_CC] += jnp.sum(dpower * (-0.5 * dy * dy))
@@ -484,15 +616,29 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
             sfx_ref[:, cols] = suffix + a_i * T_i * ghat
 
 
-def _run_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
-             rows=None, win_shape=None):
+def _pack_specs(gauss, n):
+    """in_specs prefix for the two pack modes."""
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    if gauss is not None:
+        return [smem((n, PACK))]
+    return [smem((6, n)), smem((n, AUX_COLS)), smem((1, n))]
+
+
+def _run_fwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1, interpret,
+             slot_w=None, rows=None, win_shape=None):
     """``p1``/``p2`` are the FULL profiles; ``win_shape`` (win_h, win_w)
     bounds the grid and the chain scratch — the kernel reads its own
     window bands/columns (XLA-side window slicing cost an unrolled while
     loop per view under vmap). ``pl_mat`` (LANES, LANES) one-hot lane
     permutation enables the in-kernel window permute (p1 arrives
-    UNPERMUTED); None = p1 arrives externally permuted."""
-    n = gauss.shape[0]
+    UNPERMUTED); None = p1 arrives externally permuted.
+
+    Pack modes: ``gauss`` (n, PACK) depth-sorted with p2 pre-permuted
+    (legacy), or ``gd``/``aux``/``ordf`` unsorted + depth order with p2
+    unsorted (the zero-glue default — see _fwd_kernel)."""
+    inpack = gauss is None
+    n = gd.shape[1] if inpack else gauss.shape[0]
     rows = ROWS if rows is None else rows
     win_h, win_w = win_shape if win_shape is not None \
         else (p1.shape[0], p2.shape[1])
@@ -501,17 +647,18 @@ def _run_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
         not in ("", "0", "off")
     inker = pl_mat is not None
 
+    pack_specs = _pack_specs(gauss, n)
+    operands = (gauss,) if not inpack else (gd, aux, ordf)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n, l1, slot_w, band_exit, inker),
+        functools.partial(_fwd_kernel, n, l1, slot_w, band_exit, inker,
+                          inpack),
         grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec((n, PACK), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+        in_specs=pack_specs + [
             pl.BlockSpec(p1.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 4 if inpack else 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ] + ([pl.BlockSpec(pl_mat.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM)] if inker else []),
@@ -520,9 +667,12 @@ def _run_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows, win_w), jnp.float32),   # T (0 = early-out)
-        ] + ([pltpu.VMEM((win_h, LANES), jnp.float32)] if inker else []),
+        ] + ([pltpu.SMEM((n, SCR_COLS), jnp.float32),  # sorted pack
+              pltpu.VMEM((n, p2.shape[1]), jnp.float32)]  # sorted p2
+             if inpack else [])
+          + ([pltpu.VMEM((win_h, LANES), jnp.float32)] if inker else []),
         interpret=interpret,
-    )(gauss, p1, p2, offs, *((pl_mat,) if inker else ()))
+    )(*operands, p1, p2, offs, *((pl_mat,) if inker else ()))
     return out[0, 0], out[0, 1]
 
 
@@ -542,16 +692,21 @@ def bwd_vmem_bytes(n: int, rows: int, stack_w: int, win_w: int,
     The trainer's tier_rows sizes row bands against the 2-stack form;
     ``_run_bwd`` upgrades to 4 stacks (ghat/E, skipping pass 2's
     recompute) only when this still fits, so the upgrade can never break
-    a tier the 2-stack budget admitted."""
+    a tier the 2-stack budget admitted. The sorted-p2 scratch of the
+    zero-glue pack path (``_assemble_pack``) counts unconditionally
+    (2·n·w_pad — conservative for SKELSPLAT_PALLAS_PACK=xla)."""
     return 4 * (n_stacks * n * rows * stack_w + 2 * rows * win_w
-                + h_pad * LANES + n * w_pad + n * PACK
+                + h_pad * LANES + 2 * n * w_pad + n * PACK
                 + inker_h * LANES + (LANES * LANES if inker_h else 0))
 
 
-def _run_bwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
-             rows=None, win_shape=None):
-    """Combined forward+backward pass: returns (S, C, dg)."""
-    n = gauss.shape[0]
+def _run_bwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1, interpret,
+             slot_w=None, rows=None, win_shape=None):
+    """Combined forward+backward pass: returns (S, C, dg) — dg is
+    (n, PACK) depth-sorted on the legacy pack path, (n, 6) RANK-ordered
+    on the zero-glue path (the VJP wrapper unsorts it)."""
+    inpack = gauss is None
+    n = gd.shape[1] if inpack else gauss.shape[0]
     rows = ROWS if rows is None else rows
     win_h, win_w = win_shape if win_shape is not None \
         else (p1.shape[0], p2.shape[1])
@@ -567,30 +722,31 @@ def _run_bwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
         * (4 if gstacks else 2)
     band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
         not in ("", "0", "off")
+    dg_w = n * (6 if inpack else PACK)
+    pack_specs = _pack_specs(gauss, n)
+    operands = (gauss,) if not inpack else (gd, aux, ordf)
     out, dg = pl.pallas_call(
         functools.partial(_bwd_kernel, n, l1, slot_w, gstacks, band_exit,
-                          inker),
+                          inker, inpack),
         grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec((n, PACK), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+        in_specs=pack_specs + [
             pl.BlockSpec(p1.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, p2.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 4 if inpack else 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ] + ([pl.BlockSpec(pl_mat.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM)] if inker else []),
         out_specs=(
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n * PACK), lambda i: (0, 0),
+            pl.BlockSpec((1, dg_w), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
-            jax.ShapeDtypeStruct((1, n * PACK), jnp.float32),
+            jax.ShapeDtypeStruct((1, dg_w), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((rows, win_w), jnp.float32),      # T (0 = early-out)
@@ -598,34 +754,54 @@ def _run_bwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
             stacks[1],                                   # T stack
             pltpu.VMEM((rows, win_w), jnp.float32),      # suffix
         ] + ([stacks[2], stacks[3]] if gstacks else [])   # ghat, E
+          + ([pltpu.SMEM((n, SCR_COLS), jnp.float32),    # sorted pack
+              pltpu.VMEM((n, p2.shape[1]), jnp.float32)]  # sorted p2
+             if inpack else [])
           + ([pltpu.VMEM((win_h, LANES), jnp.float32)] if inker else []),
         interpret=interpret,
-    )(gauss, p1, p2, offs, *((pl_mat,) if inker else ()))
-    return out[0, 0], out[0, 1], dg.reshape(n, PACK)
+    )(*operands, p1, p2, offs, *((pl_mat,) if inker else ()))
+    return out[0, 0], out[0, 1], dg.reshape(n, 6 if inpack else PACK)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _pallas_S_C(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
-                rows=None, win_shape=None):
-    return _run_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w,
-                    rows, win_shape)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _pallas_S_C(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1, interpret,
+                slot_w=None, rows=None, win_shape=None):
+    return _run_fwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1,
+                    interpret, slot_w, rows, win_shape)
 
 
-def _pallas_fwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w=None,
-                rows=None, win_shape=None):
+def _pallas_fwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1, interpret,
+                slot_w=None, rows=None, win_shape=None):
     # under value_and_grad the COMBINED kernel produces the loss and the
     # screen-space gradients in one launch — the forward-only kernel never
     # runs on the grad path (the adjoint is the cotangent scale below)
-    S, C, dg = _run_bwd(gauss, p1, p2, offs, pl_mat, l1, interpret, slot_w,
-                        rows, win_shape)
-    return (S, C), (dg, p1, p2, offs, pl_mat)
+    S, C, dg = _run_bwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1,
+                        interpret, slot_w, rows, win_shape)
+    return (S, C), (dg, aux, ordf, p1, p2, offs, pl_mat)
 
 
 def _pallas_bwd(l1, interpret, slot_w, rows, win_shape, res, cot):
-    dg, p1, p2, offs, pl_mat = res
+    dg, aux, ordf, p1, p2, offs, pl_mat = res
     gS, _ = cot
-    return (dg * gS, jnp.zeros_like(p1), jnp.zeros_like(p2),
-            jnp.zeros_like(offs), jax.tree.map(jnp.zeros_like, pl_mat))
+    zeros = lambda x: jax.tree.map(jnp.zeros_like, x)
+    if ordf is None:
+        # legacy pack path: dg is depth-sorted (n, PACK), matching gauss
+        return (dg * gS, None, None, None, zeros(p1), zeros(p2),
+                zeros(offs), zeros(pl_mat))
+    # zero-glue path: dg is RANK-ordered (n, 6); unsort to joint order as
+    # ONE one-hot matmul at HIGHEST — dgd[j] = Σ_r [order[r]==j]·dgs[r],
+    # bitwise the gather (each output is 1.0·x plus exact zeros). An
+    # argsort+take unsort was measured ~4 µs/macro SLOWER on chip (tiny
+    # TPU gathers are exactly what the one-hot forms exist to avoid,
+    # round-3 lesson re-confirmed round 5).
+    n = dg.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.float32)
+    Pn = (ordf[0][:, None] == iota_n[None, :]).astype(jnp.float32)
+    dgd = jax.lax.dot_general(
+        dg * gS, Pn, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)   # (6, n), no transpose
+    return (None, dgd, zeros(aux), zeros(ordf), zeros(p1), zeros(p2),
+            zeros(offs), zeros(pl_mat))
 
 
 _pallas_S_C.defvjp(_pallas_fwd, _pallas_bwd)
@@ -831,6 +1007,20 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         profiles = pallas_view_profiles(spec_v, W, H)
     p1_lane, p2, B, spans = profiles
     hi = jax.lax.Precision.HIGHEST
+    # zero-glue pack (SKELSPLAT_PALLAS_PACK=kernel — MEASURED
+    # NEUTRAL-TO-SLIGHTLY-SLOWER, kept env-gated; see PERF.md round 5):
+    # ship the preprocess outputs UNSORTED as per-quantity SMEM refs +
+    # the depth order; program 0 gathers them into a sorted scratch pack
+    # (bitwise the HIGHEST one-hot sort matmuls it replaces). Kills the
+    # (N,16) stack, BOTH Pn matmuls (gauss + p2) and the pack's autodiff
+    # adjoint — but the removed glue is only ~0.25 µs/op and the
+    # in-kernel assembly + the VJP's one-hot unsort cost it back
+    # (interleaved A/B: 0.0176-0.0183 vs 0.0175-0.0177 legacy). The
+    # env-gated Pallas preprocess kernel produces the legacy pack, so it
+    # forces that path too.
+    inpack = (_os.environ.get("SKELSPLAT_PALLAS_PACK", "xla") == "kernel"
+              and _preprocess_mode() != "kernel")
+    gd = aux = ordf = None
 
     if _preprocess_mode() == "kernel":
         # the whole EWA preprocess + pack assembly (incl. the c0 slot
@@ -886,36 +1076,46 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         else:
             c0 = jnp.zeros((n,), jnp.float32)
 
-        ones = jnp.ones((n,), jnp.float32)
-        gauss = jnp.stack(
-            [pp.pix[:, 0], pp.pix[:, 1],
-             pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
-             rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
-             B, spec_v.width[0] * ones, spec_v.height[0] * ones,
-             # GT row support per slot for the kernel's band culling:
-             # gt > 0 requires p1 > 0 (B = −mn/denom ≤ 0), so the
-             # nonzero-row span of the profile is a tight conservative
-             # bound (pallas_view_profiles)
-             spans[:, 0], spans[:, 1], c0], axis=1)
+        if inpack:
+            # GT row support per slot (AUX_GY0/GY1) for the kernel's band
+            # culling: gt > 0 requires p1 > 0 (B = −mn/denom ≤ 0), so the
+            # nonzero-row span of the profile is a tight conservative
+            # bound (pallas_view_profiles)
+            gd = jnp.stack([pp.pix[:, 0], pp.pix[:, 1], pp.conic[:, 0],
+                            pp.conic[:, 1], pp.conic[:, 2], opa])  # (6, n)
+            aux = jax.lax.stop_gradient(jnp.concatenate(
+                [rect, B[:, None], spans[:, 0:1], spans[:, 1:2],
+                 c0[:, None]], axis=1))                           # (n, 8)
+            ordf = jax.lax.stop_gradient(
+                order.astype(jnp.float32).reshape(1, n))
+            gauss_s = None
+        else:
+            ones = jnp.ones((n,), jnp.float32)
+            gauss = jnp.stack(
+                [pp.pix[:, 0], pp.pix[:, 1],
+                 pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
+                 rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+                 B, spec_v.width[0] * ones, spec_v.height[0] * ones,
+                 # GT row support per slot (see the inpack note above)
+                 spans[:, 0], spans[:, 1], c0], axis=1)
 
-        # depth-order permutation as one-hot f32 matmuls at HIGHEST
-        # precision: bitwise-identical to gathers (each output row/lane
-        # is 1.0·x plus exact zeros) but ONE MXU op instead of a gather
-        # + its scatter-add VJP — the gathers dominated the per-macro
-        # XLA soup on TPU. HIGHEST (6-pass) is mandatory: HIGH is a
-        # 2-term bf16 split (16 mantissa bits) on this chip — measured
-        # 1.5e-5 rel error, see the rejection note at the top of this
-        # file.
-        iota_n = jnp.arange(n, dtype=order.dtype)
-        Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
-        gauss_s = jnp.matmul(Pn, gauss, precision=hi)
+            # depth-order permutation as one-hot f32 matmuls at HIGHEST
+            # precision: bitwise-identical to gathers (each output
+            # row/lane is 1.0·x plus exact zeros) but ONE MXU op instead
+            # of a gather + its scatter-add VJP — the gathers dominated
+            # the per-macro XLA soup on TPU. HIGHEST (6-pass) is
+            # mandatory: HIGH is a 2-term bf16 split (16 mantissa bits)
+            # on this chip — measured 1.5e-5 rel error, see the rejection
+            # note at the top of this file.
+            iota_n = jnp.arange(n, dtype=order.dtype)
+            Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
+            gauss_s = jnp.matmul(Pn, gauss, precision=hi)
     # lane permute of p1: PL[k, i] = 1 iff k == order[i] (lanes ≥ n zero
     # out — the kernel reads lanes < n only)
     lanes = p1_lane.shape[1]
     iota_l = jnp.arange(lanes, dtype=order.dtype)
     PL = (iota_l[:, None] == order[None, :]).astype(jnp.float32)
     PL = jax.lax.stop_gradient(_pad_to(PL, lanes, axis=1))
-    Pn_sg = jax.lax.stop_gradient(Pn)
 
     eff_rows = ROWS if rows is None else rows
     if window is not None:
@@ -928,11 +1128,11 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         if slot_w is not None and (slot_w % LANES or slot_w <= 0):
             raise ValueError(f"slot_w {slot_w} must be a positive multiple "
                              f"of LANES={LANES}")
-        offs = window.reshape(1, 2)
+        win_off = window
         if slot_w is not None and slot_w >= win_w:
             slot_w = None
-        # per-slot column-slice starts (IDX_C0) were packed before the
-        # depth sort above; the covered-span proof is in the trainer's
+        # per-slot column-slice starts (AUX_C0/IDX_C0) were packed before
+        # the depth sort above; the covered-span proof is in the trainer's
         # fits test (bbox[4] <= slot_w). The kernel reads its own window
         # bands/columns from the FULL profiles (an XLA-side dynamic
         # slice per view lowered to an unrolled while loop under vmap,
@@ -940,12 +1140,21 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         # bitwise the same rows as permuting the crop).
         kern_shape = (win_h, win_w)
     else:
-        offs = jnp.zeros((1, 2), jnp.float32)
+        win_off = jnp.zeros((2,), jnp.float32)
         slot_w = None
         kern_shape = (p1_lane.shape[0], p2.shape[1])
         if kern_shape[0] % eff_rows:
             raise ValueError(f"kernel height {kern_shape[0]} not a multiple "
                              f"of rows={eff_rows}")
+    if inpack:
+        # offs also carries the TRUE per-view image size (the clamp
+        # bounds for in_img — the legacy pack reads them from its own
+        # width/height columns instead, keeping that program unchanged)
+        offs = jnp.concatenate(
+            [win_off.reshape(2), spec_v.width[0:1], spec_v.height[0:1]]
+        ).reshape(1, 4)
+    else:
+        offs = win_off.reshape(1, 2)
 
     # p1 depth permute runs IN-KERNEL by default: the kernel permutes its
     # own window rows from the unpermuted p1 + PL with one program-0 dot
@@ -958,9 +1167,12 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
         p1_s, pl_mat = p1_lane, PL
     else:
         p1_s, pl_mat = jnp.matmul(p1_lane, PL, precision=hi), None
-    p2_s = jnp.matmul(Pn_sg, p2, precision=hi)
+    # p2 ships UNSORTED on the zero-glue path — the kernel's
+    # dynamic-sublane read through the order IS the permute
+    p2_s = p2 if inpack else jnp.matmul(jax.lax.stop_gradient(Pn), p2,
+                                        precision=hi)
 
-    S, C = _pallas_S_C(gauss_s, p1_s, p2_s, offs, pl_mat,
+    S, C = _pallas_S_C(gauss_s, gd, aux, ordf, p1_s, p2_s, offs, pl_mat,
                        loss_function != "l2_gaussian", interpret, slot_w,
                        rows, kern_shape)
     return S / jnp.maximum(C, 1.0)

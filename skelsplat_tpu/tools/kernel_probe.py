@@ -132,7 +132,11 @@ def probe_tier(slot_w=256, win_h=512, win_w=768, rows=64, W=1002, H=1000,
     pl_b = jnp.stack(pl_v)
     eff_slot = slot_w if (slot_w and slot_w < win_w) else None
 
-    kern = functools.partial(_run_bwd, l1=False, interpret=False,
+    # the legacy-pack kernel variant (gd/aux/ordf None): the probe's
+    # decomposition question (width-proportional vs fixed) is about the
+    # compositing passes, which are identical across pack modes
+    kern = functools.partial(_run_bwd, gd=None, aux=None, ordf=None,
+                             l1=False, interpret=False,
                              slot_w=eff_slot, rows=rows,
                              win_shape=(win_h, win_w))
 
@@ -142,7 +146,8 @@ def probe_tier(slot_w=256, win_h=512, win_w=768, rows=64, W=1002, H=1000,
             def body(c, i):
                 g = gauss_b.at[:, 0, IDX_PX].add(i * 1e-6)
                 S, C, dg = jax.vmap(
-                    lambda g1, a, b, o, p: kern(g1, a, b, o, p))(
+                    lambda g1, a, b, o, p: kern(g1, p1=a, p2=b, offs=o,
+                                                pl_mat=p))(
                         g, p1_b, p2_b, offs_b, pl_b)
                 return c + jnp.sum(S) + jnp.sum(dg[:, 0, 0]), None
 

@@ -538,3 +538,41 @@ def test_onehot_permute_highest_exact_hostile():
         lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST))(
         jnp.asarray(x), jnp.asarray(PL)))
     np.testing.assert_array_equal(out, x[:, order])
+
+
+@pytest.mark.parametrize("sliced", [False, True])
+def test_zero_glue_pack_variant_bitwise(scene, monkeypatch, sliced):
+    """The default zero-glue pack (unsorted per-quantity SMEM refs + the
+    depth order; the kernel gathers slots through ord_ref and reads p2 by
+    dynamic sublane index) must be BITWISE the SKELSPLAT_PALLAS_PACK=xla
+    legacy path (sorted (N,16) pack + HIGHEST one-hot sort matmuls)
+    through loss AND grads — every one-hot matmul it replaces was exactly
+    the gather the kernel now performs, and the rank-ordered gradient
+    block unsorts through one take()."""
+    cams, gt, p2d, init, params, spec = scene
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    spec_v = jax.tree.map(lambda x: x[0], spec)
+    kw = {}
+    if sliced:
+        from skelsplat_tpu.ops.pallas_raster import (pallas_view_profiles,
+                                                     pallas_window_bounds)
+        profs = pallas_view_profiles(spec_v, W, H)
+        offs, fits = pallas_window_bounds(params, cam, spec_v, W, H,
+                                          64, 128, profiles=profs)
+        # a non-covering window is still a valid A/B (both variants get
+        # the same window + slot slices)
+        kw = dict(profiles=profs, window=offs, win_shape=(64, 128),
+                  slot_w=128, rows=32)
+
+    def run():
+        return jax.value_and_grad(lambda p: fused_view_loss_pallas(
+            p, cam, spec_v, W, H, **kw))(params)
+
+    monkeypatch.setenv("SKELSPLAT_PALLAS_PACK", "xla")
+    l_ref, g_ref = jax.tree.map(np.asarray, run())
+    monkeypatch.delenv("SKELSPLAT_PALLAS_PACK", raising=False)
+    l_new, g_new = jax.tree.map(np.asarray, run())
+    np.testing.assert_array_equal(l_ref, l_new)
+    for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
+        np.testing.assert_array_equal(getattr(g_ref, nm),
+                                      getattr(g_new, nm), err_msg=nm)
