@@ -91,13 +91,11 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
-def _preprocess_mode():
-    """Default "xla": the closed-form elementwise jnp preprocess (the
-    production path — the Pallas preprocess kernel measured perf-NEUTRAL
-    on the headline sweep, PERF.md round 4). SKELSPLAT_PALLAS_PREPROCESS=
-    kernel opts into the Pallas EWA preprocess + gauss-pack kernel with
-    its analytic adjoint (ops/pallas_preprocess.py)."""
-    return _os.environ.get("SKELSPLAT_PALLAS_PREPROCESS", "xla")
+# The round-4 Pallas EWA-preprocess kernel (SKELSPLAT_PALLAS_PREPROCESS)
+# was PRUNED in round 5: it measured perf-neutral (lane-major) or worse
+# (sublane-major), and the round-5 zero-glue pack experiment closed the
+# whole move-the-pack-into-the-kernel family with measured rejections —
+# see PERF.md rounds 4-5 for the numbers and the recorded lessons.
 
 
 def _base_geometry(y0f, rows, cw):
@@ -876,11 +874,6 @@ def pallas_view_bbox(params, cam, spec_v, W: int, H: int,
     call OUTSIDE value_and_grad."""
     if profiles is None:
         profiles = pallas_view_profiles(spec_v, W, H)
-    if _preprocess_mode() == "kernel":
-        from skelsplat_tpu.ops import pallas_preprocess as ppk
-        _, bbox = ppk.preprocess_pack_view(
-            params, cam, spec_v, profiles, W, H, antialiasing)
-        return bbox
     pp = rasterizer.preprocess_gaussians(
         params.xyz, params.covariance(), params.opacity, cam, W, H,
         antialiasing)
@@ -1018,98 +1011,75 @@ def fused_view_loss_pallas(params, cam, spec_v, W: int, H: int,
     # (interleaved A/B: 0.0176-0.0183 vs 0.0175-0.0177 legacy). The
     # env-gated Pallas preprocess kernel produces the legacy pack, so it
     # forces that path too.
-    inpack = (_os.environ.get("SKELSPLAT_PALLAS_PACK", "xla") == "kernel"
-              and _preprocess_mode() != "kernel")
+    inpack = _os.environ.get("SKELSPLAT_PALLAS_PACK", "xla") == "kernel"
     gd = aux = ordf = None
 
-    if _preprocess_mode() == "kernel":
-        # the whole EWA preprocess + pack assembly (incl. the c0 slot
-        # starts) runs as ONE tiny lane-major kernel with an analytic
-        # adjoint — the XLA form below lowers to ~60-90 sub-µs
-        # launch-bound fusions per macro (see ops/pallas_preprocess.py)
-        from skelsplat_tpu.ops import pallas_preprocess as ppk
-        eff_slot = slot_w if (window is not None and slot_w is not None
-                              and slot_w < win_shape[1]) else None
-        G, _ = ppk.preprocess_pack_view(
-            params, cam, spec_v, profiles, W, H, antialiasing,
-            window=window, slot_w=eff_slot,
-            win_w=None if win_shape is None else win_shape[1],
-            interpret=interpret)
-        order = jnp.argsort(G[PACK, :n])
+    cov6 = params.covariance()
+    pp = rasterizer.preprocess_gaussians(
+        params.xyz, cov6, params.opacity, cam, W, H, antialiasing)
+
+    order = jnp.argsort(jnp.where(pp.valid, pp.depth, jnp.inf))
+
+    # channel-aligned slot data, built as ONE column stack (a chain of
+    # .at[].set scatters costs ~10 us/macro of tiny scatter ops on TPU)
+    opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
+    rect = jax.lax.stop_gradient(jnp.concatenate(
+        [pp.rect_min, pp.rect_max], axis=1).astype(jnp.float32))
+
+    # per-slot 128-aligned column-slice starts (IDX_C0), in UNSORTED
+    # joint order (every input is per-joint, so computing before the
+    # depth sort is equivalent); only meaningful when slot slicing is
+    # active
+    if (window is not None and slot_w is not None
+            and slot_w < win_shape[1]):
+        big = jnp.float32(1e9)
+        rx0 = rect[:, 0] * geometry.BLOCK_X
+        rx1 = rect[:, 2] * geometry.BLOCK_X
+        act_r = rx1 > rx0
+        act_g = spans[:, 3] > spans[:, 2]
+        lo = jnp.minimum(jnp.where(act_r, rx0, big),
+                         jnp.where(act_g, spans[:, 2], big))
+        c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
+                      0.0, float(win_shape[1] - slot_w))
+        c0 = jax.lax.stop_gradient(
+            jnp.where(act_r | act_g, c0, 0.0))
+    else:
+        c0 = jnp.zeros((n,), jnp.float32)
+
+    if inpack:
+        # GT row support per slot (AUX_GY0/GY1) for the kernel's band
+        # culling: gt > 0 requires p1 > 0 (B = −mn/denom ≤ 0), so the
+        # nonzero-row span of the profile is a tight conservative
+        # bound (pallas_view_profiles)
+        gd = jnp.stack([pp.pix[:, 0], pp.pix[:, 1], pp.conic[:, 0],
+                        pp.conic[:, 1], pp.conic[:, 2], opa])  # (6, n)
+        aux = jax.lax.stop_gradient(jnp.concatenate(
+            [rect, B[:, None], spans[:, 0:1], spans[:, 1:2],
+             c0[:, None]], axis=1))                           # (n, 8)
+        ordf = jax.lax.stop_gradient(
+            order.astype(jnp.float32).reshape(1, n))
+        gauss_s = None
+    else:
+        ones = jnp.ones((n,), jnp.float32)
+        gauss = jnp.stack(
+            [pp.pix[:, 0], pp.pix[:, 1],
+             pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
+             rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+             B, spec_v.width[0] * ones, spec_v.height[0] * ones,
+             # GT row support per slot (see the inpack note above)
+             spans[:, 0], spans[:, 1], c0], axis=1)
+
+        # depth-order permutation as one-hot f32 matmuls at HIGHEST
+        # precision: bitwise-identical to gathers (each output
+        # row/lane is 1.0·x plus exact zeros) but ONE MXU op instead
+        # of a gather + its scatter-add VJP — the gathers dominated
+        # the per-macro XLA soup on TPU. HIGHEST (6-pass) is
+        # mandatory: HIGH is a 2-term bf16 split (16 mantissa bits)
+        # on this chip — measured 1.5e-5 rel error, see the rejection
+        # note at the top of this file.
         iota_n = jnp.arange(n, dtype=order.dtype)
         Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
-        # sorted pack straight off the kernel's lane-major G: contract
-        # G's lane (joint) axis with the one-hot rows — bitwise the
-        # row-gather, same as the matmul form below
-        gauss_s = jax.lax.dot_general(
-            Pn, G[:PACK, :n], (((1,), (1,)), ((), ())), precision=hi)
-    else:
-        cov6 = params.covariance()
-        pp = rasterizer.preprocess_gaussians(
-            params.xyz, cov6, params.opacity, cam, W, H, antialiasing)
-
-        order = jnp.argsort(jnp.where(pp.valid, pp.depth, jnp.inf))
-
-        # channel-aligned slot data, built as ONE column stack (a chain of
-        # .at[].set scatters costs ~10 us/macro of tiny scatter ops on TPU)
-        opa = jnp.where(pp.valid, pp.opacity_eff, 0.0)
-        rect = jax.lax.stop_gradient(jnp.concatenate(
-            [pp.rect_min, pp.rect_max], axis=1).astype(jnp.float32))
-
-        # per-slot 128-aligned column-slice starts (IDX_C0), in UNSORTED
-        # joint order (every input is per-joint, so computing before the
-        # depth sort is equivalent); only meaningful when slot slicing is
-        # active
-        if (window is not None and slot_w is not None
-                and slot_w < win_shape[1]):
-            big = jnp.float32(1e9)
-            rx0 = rect[:, 0] * geometry.BLOCK_X
-            rx1 = rect[:, 2] * geometry.BLOCK_X
-            act_r = rx1 > rx0
-            act_g = spans[:, 3] > spans[:, 2]
-            lo = jnp.minimum(jnp.where(act_r, rx0, big),
-                             jnp.where(act_g, spans[:, 2], big))
-            c0 = jnp.clip(jnp.floor(lo / LANES) * LANES - window[1],
-                          0.0, float(win_shape[1] - slot_w))
-            c0 = jax.lax.stop_gradient(
-                jnp.where(act_r | act_g, c0, 0.0))
-        else:
-            c0 = jnp.zeros((n,), jnp.float32)
-
-        if inpack:
-            # GT row support per slot (AUX_GY0/GY1) for the kernel's band
-            # culling: gt > 0 requires p1 > 0 (B = −mn/denom ≤ 0), so the
-            # nonzero-row span of the profile is a tight conservative
-            # bound (pallas_view_profiles)
-            gd = jnp.stack([pp.pix[:, 0], pp.pix[:, 1], pp.conic[:, 0],
-                            pp.conic[:, 1], pp.conic[:, 2], opa])  # (6, n)
-            aux = jax.lax.stop_gradient(jnp.concatenate(
-                [rect, B[:, None], spans[:, 0:1], spans[:, 1:2],
-                 c0[:, None]], axis=1))                           # (n, 8)
-            ordf = jax.lax.stop_gradient(
-                order.astype(jnp.float32).reshape(1, n))
-            gauss_s = None
-        else:
-            ones = jnp.ones((n,), jnp.float32)
-            gauss = jnp.stack(
-                [pp.pix[:, 0], pp.pix[:, 1],
-                 pp.conic[:, 0], pp.conic[:, 1], pp.conic[:, 2], opa,
-                 rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
-                 B, spec_v.width[0] * ones, spec_v.height[0] * ones,
-                 # GT row support per slot (see the inpack note above)
-                 spans[:, 0], spans[:, 1], c0], axis=1)
-
-            # depth-order permutation as one-hot f32 matmuls at HIGHEST
-            # precision: bitwise-identical to gathers (each output
-            # row/lane is 1.0·x plus exact zeros) but ONE MXU op instead
-            # of a gather + its scatter-add VJP — the gathers dominated
-            # the per-macro XLA soup on TPU. HIGHEST (6-pass) is
-            # mandatory: HIGH is a 2-term bf16 split (16 mantissa bits)
-            # on this chip — measured 1.5e-5 rel error, see the rejection
-            # note at the top of this file.
-            iota_n = jnp.arange(n, dtype=order.dtype)
-            Pn = (order[:, None] == iota_n[None, :]).astype(jnp.float32)
-            gauss_s = jnp.matmul(Pn, gauss, precision=hi)
+        gauss_s = jnp.matmul(Pn, gauss, precision=hi)
     # lane permute of p1: PL[k, i] = 1 iff k == order[i] (lanes ≥ n zero
     # out — the kernel reads lanes < n only)
     lanes = p1_lane.shape[1]
