@@ -542,13 +542,16 @@ def test_onehot_permute_highest_exact_hostile():
 
 @pytest.mark.parametrize("sliced", [False, True])
 def test_zero_glue_pack_variant_bitwise(scene, monkeypatch, sliced):
-    """The default zero-glue pack (unsorted per-quantity SMEM refs + the
-    depth order; the kernel gathers slots through ord_ref and reads p2 by
-    dynamic sublane index) must be BITWISE the SKELSPLAT_PALLAS_PACK=xla
-    legacy path (sorted (N,16) pack + HIGHEST one-hot sort matmuls)
-    through loss AND grads — every one-hot matmul it replaces was exactly
-    the gather the kernel now performs, and the rank-ordered gradient
-    block unsorts through one take()."""
+    """The env-gated zero-glue pack (SKELSPLAT_PALLAS_PACK=kernel:
+    unsorted per-quantity SMEM refs + the depth order; program 0 gathers
+    slots through ord_ref into sorted scratch) must be BITWISE the
+    default legacy path (sorted (N,16) pack + HIGHEST one-hot sort
+    matmuls) through loss AND grads — every one-hot matmul it replaces
+    was exactly the gather the kernel now performs, and the rank-ordered
+    gradient block unsorts through one take(). (The kernel pack was
+    measured-REJECTED on the headline sweep, PERF.md round 5 — the
+    default is "xla"; this test must OPT IN to the variant or it
+    compares the legacy path against itself.)"""
     cams, gt, p2d, init, params, spec = scene
     cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
     spec_v = jax.tree.map(lambda x: x[0], spec)
@@ -570,7 +573,7 @@ def test_zero_glue_pack_variant_bitwise(scene, monkeypatch, sliced):
 
     monkeypatch.setenv("SKELSPLAT_PALLAS_PACK", "xla")
     l_ref, g_ref = jax.tree.map(np.asarray, run())
-    monkeypatch.delenv("SKELSPLAT_PALLAS_PACK", raising=False)
+    monkeypatch.setenv("SKELSPLAT_PALLAS_PACK", "kernel")
     l_new, g_new = jax.tree.map(np.asarray, run())
     np.testing.assert_array_equal(l_ref, l_new)
     for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
