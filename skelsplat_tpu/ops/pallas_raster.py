@@ -91,6 +91,23 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
+def _lazy_slot_read() -> bool:
+    """SKELSPLAT_PALLAS_SLOTREAD — "lazy" (default, ADOPTED round 5):
+    read only the 5 culling-test scalars per (slot, band) iteration
+    upfront (_read_slot_hdr), defer the remaining pack scalars into the
+    pl.when regions (only ~21% of (slot, band) pairs are active at the
+    headline tier), and skip the bwd-stack pre-zeroing (dead — pass 2
+    reads a slot's stacks only under the same rends[i] predicate that
+    guarantees pass 1 overwrote them). "eager" restores the round-4
+    form: all PACK scalars upfront + unconditional α/T stack zeroing.
+    Bitwise identical (pure load reordering + dead-store removal;
+    tests/test_pallas.py::test_lazy_slot_read_variant_bitwise); measured
+    0.0162 vs 0.0176 s/frame eager on the headline sweep, interleaved
+    A/B×2 — the first slice of the roofline's 51.8 µs width-independent
+    scaffolding residue to fall (PERF.md round 5)."""
+    return _os.environ.get("SKELSPLAT_PALLAS_SLOTREAD", "lazy") == "lazy"
+
+
 # The round-4 Pallas EWA-preprocess kernel (SKELSPLAT_PALLAS_PREPROCESS)
 # was PRUNED in round 5: it measured perf-neutral (lane-major) or worse
 # (sublane-major), and the round-5 zero-glue pack experiment closed the
@@ -163,6 +180,25 @@ def _assemble_pack(n, ord_ref, gd_ref, aux_ref, p2_ref, g_scr, p2s_ref):
             for j in range(AUX_COLS):
                 g_scr[i, 6 + j] = aux_ref[idx, j]
             p2s_ref[pl.ds(i, 1), :] = p2_ref[pl.ds(idx, 1), :]
+
+
+def _read_slot_hdr(i, g_ref, g_scr):
+    """The 5 scalars the per-band culling tests need BEFORE the predicated
+    regions (band overlaps + the slot column slice): ry0/ry1 (splat rect
+    rows, tile units), gy0/gy1 (GT row span), c0 (slot column start).
+    The lazy slot-read mode (SKELSPLAT_PALLAS_SLOTREAD) reads only these
+    upfront and defers the remaining 10 pack scalars into the pl.when
+    regions — only ~21% of (slot, band) pairs are active at the headline
+    tier (roofline body-activity replay, PERF.md round 5), so the eager
+    form spends most of its per-body scalar SMEM loads on bodies whose
+    both predicates are false."""
+    if g_scr is not None:
+        return _Slot(ry0=g_scr[i, 6 + AUX_RY0], ry1=g_scr[i, 6 + AUX_RY1],
+                     gy0=g_scr[i, 6 + AUX_GY0], gy1=g_scr[i, 6 + AUX_GY1],
+                     c0=g_scr[i, 6 + AUX_C0], p2i=i)
+    return _Slot(ry0=g_ref[i, IDX_RY0], ry1=g_ref[i, IDX_RY1],
+                 gy0=g_ref[i, IDX_GY0], gy1=g_ref[i, IDX_GY1],
+                 c0=g_ref[i, IDX_C0], p2i=i)
 
 
 def _read_slot(i, g_ref, g_scr):
@@ -281,7 +317,8 @@ def _inkernel_permute(p1_ref, pl_ref, p1s_ref, r_off):
             preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, *args):
+def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, lazy,
+                *args):
     """Default pack path: g_ref SMEM (n, PACK), depth-sorted, with p2
     pre-permuted. Zero-glue path (``inpack``, SKELSPLAT_PALLAS_PACK=
     kernel — measured neutral, env-gated): gd_ref SMEM (6, n) UNSORTED
@@ -378,7 +415,8 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, *args):
     img_w = offs_ref[0, 2] if inpack else g_ref[0, IDX_W]
     in_rows = ys < (offs_ref[0, 3] if inpack else g_ref[0, IDX_H])
     for i in range(n):
-        s = _read_slot(i, g_ref, g_scr)
+        s = _read_slot_hdr(i, g_ref, g_scr) if lazy \
+            else _read_slot(i, g_ref, g_scr)
         rend_ov, gt_ov = _band_overlaps(s, y0f, rows)
         cols, cols_p2, c0f, cw = _slot_cols(s, slot_w, w_pad, p2_w, c_off)
         if band_exit:
@@ -386,6 +424,8 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, *args):
 
         @pl.when(rend_ov)
         def _(i=i, s=s, cols=cols, cols_p2=cols_p2, c0f=c0f):
+            if lazy:        # deferred pack read: only active bodies pay it
+                s = _read_slot(i, g_ref, g_scr)
             x_off = offs_ref[0, 1] + c0f
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
@@ -411,6 +451,9 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, *args):
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
         def _(i=i, s=s, cols_p2=cols_p2, c0f=c0f):
+            if lazy:        # only B is missing from the header here
+                s = _Slot(B=(g_scr[i, 6 + AUX_B] if g_scr is not None
+                             else g_ref[i, IDX_B]), p2i=i)
             xs = xs0 + (offs_ref[0, 1] + c0f)
             in_img = in_rows & (xs < img_w)
             gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
@@ -421,7 +464,7 @@ def _fwd_kernel(n: int, l1: bool, slot_w, band_exit, inker, inpack, *args):
 
 
 def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
-                inpack, *args):
+                inpack, lazy, *args):
     """Combined forward+backward: pass 1 runs the band-culled compositing
     chain — emitting the SAME (S, C) accumulation as _fwd_kernel, in the
     same per-slot order, so values are bitwise the forward's — and stores
@@ -496,7 +539,8 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
     # changes; the live-masked α stack is what carries liveness across.
     T_ref[:] = jnp.ones((rows, w_pad), jnp.float32)
     rends = []
-    slots = [_read_slot(i, g_ref, g_scr) for i in range(n)]
+    slots = [(_read_slot_hdr(i, g_ref, g_scr) if lazy
+              else _read_slot(i, g_ref, g_scr)) for i in range(n)]
     slot_cols = [_slot_cols(slots[i], slot_w, w_pad, p2_w, c_off)
                  for i in range(n)]
     cw0 = slot_w if (slot_w is not None and slot_w < w_pad) else w_pad
@@ -514,11 +558,18 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
             # the GT-only branch below still pays its gt>0 loss terms.
             rend_ov = rend_ov & (jnp.max(T_ref[:, cols]) > 0.0)
         rends.append(rend_ov)
-        al_ref[i] = jnp.zeros((rows, cw), jnp.float32)
-        Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
+        if not lazy:
+            # dead in the lazy variant: pass 2 reads a slot's stacks only
+            # under the SAME rends[i] predicate that guarantees pass 1's
+            # region fully overwrote them (the persistence property the
+            # gstacks already rely on — gh/E are never pre-zeroed)
+            al_ref[i] = jnp.zeros((rows, cw), jnp.float32)
+            Ti_ref[i] = jnp.zeros((rows, cw), jnp.float32)
 
         @pl.when(rend_ov)
         def _(i=i, s=s, cols=cols, cols_p2=cols_p2, c0f=c0f):
+            if lazy:        # deferred pack read: only active bodies pay it
+                s = _read_slot(i, g_ref, g_scr)
             x_off = offs_ref[0, 1] + c0f
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
@@ -550,6 +601,9 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
 
         @pl.when(jnp.logical_not(rend_ov) & gt_ov)
         def _(i=i, s=s, cols_p2=cols_p2, c0f=c0f):
+            if lazy:        # only B is missing from the header here
+                s = _Slot(B=(g_scr[i, 6 + AUX_B] if g_scr is not None
+                             else g_ref[i, IDX_B]), p2i=i)
             xs = xs0 + (offs_ref[0, 1] + c0f)
             in_img = in_rows & (xs < img_w)
             gt = (_p1_col(p1_ref, p1s_ref, row0, r_off, rows, i)
@@ -566,7 +620,9 @@ def _bwd_kernel(n: int, l1: bool, slot_w, gstacks: bool, band_exit, inker,
 
         @pl.when(rends[i])
         def _(i=i, s=s, cols=cols, cols_p2=cols_p2, c0f=c0f):
-            x_off = offs_ref[0, 1] + c0f
+            if lazy:        # deferred pack read (second read per active
+                s = _read_slot(i, g_ref, g_scr)  # body; still far fewer
+            x_off = offs_ref[0, 1] + c0f         # loads than eager-all)
             xs = xs0 + x_off
             tile_x = tx0 + x_off * (1.0 / geometry.BLOCK_X)
             a_i = al_ref[i]
@@ -644,12 +700,13 @@ def _run_fwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1, interpret,
     band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
         not in ("", "0", "off")
     inker = pl_mat is not None
+    lazy = _lazy_slot_read()
 
     pack_specs = _pack_specs(gauss, n)
     operands = (gauss,) if not inpack else (gd, aux, ordf)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n, l1, slot_w, band_exit, inker,
-                          inpack),
+                          inpack, lazy),
         grid=(n_prog,),
         in_specs=pack_specs + [
             pl.BlockSpec(p1.shape, lambda i: (0, 0),
@@ -720,12 +777,13 @@ def _run_bwd(gauss, gd, aux, ordf, p1, p2, offs, pl_mat, l1, interpret,
         * (4 if gstacks else 2)
     band_exit = _os.environ.get("SKELSPLAT_PALLAS_BANDEXIT", "") \
         not in ("", "0", "off")
+    lazy = _lazy_slot_read()
     dg_w = n * (6 if inpack else PACK)
     pack_specs = _pack_specs(gauss, n)
     operands = (gauss,) if not inpack else (gd, aux, ordf)
     out, dg = pl.pallas_call(
         functools.partial(_bwd_kernel, n, l1, slot_w, gstacks, band_exit,
-                          inker, inpack),
+                          inker, inpack, lazy),
         grid=(n_prog,),
         in_specs=pack_specs + [
             pl.BlockSpec(p1.shape, lambda i: (0, 0),

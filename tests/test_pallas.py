@@ -579,3 +579,44 @@ def test_zero_glue_pack_variant_bitwise(scene, monkeypatch, sliced):
     for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
         np.testing.assert_array_equal(getattr(g_ref, nm),
                                       getattr(g_new, nm), err_msg=nm)
+
+
+@pytest.mark.parametrize("sliced", [False, True])
+def test_lazy_slot_read_variant_bitwise(scene, monkeypatch, sliced):
+    """The default lazy slot read (read only the 5 culling-test scalars
+    per (slot, band) iteration, defer the remaining pack scalars into
+    the pl.when regions, skip the dead bwd-stack pre-zeroing — ADOPTED
+    round 5, 0.0162 vs 0.0176 s/frame) must be BITWISE the
+    SKELSPLAT_PALLAS_SLOTREAD=eager round-4 form through loss AND grads
+    — it is a pure
+    reordering of SMEM loads plus removal of stores pass 2 provably never
+    reads (a slot's stacks are read only under the same rends[i]
+    predicate that guarantees pass 1's region fully overwrote them)."""
+    cams, gt, p2d, init, params, spec = scene
+    cam = take_cam(jax.tree.map(jnp.asarray, cams), 0)
+    spec_v = jax.tree.map(lambda x: x[0], spec)
+    kw = {}
+    if sliced:
+        from skelsplat_tpu.ops.pallas_raster import (pallas_view_profiles,
+                                                     pallas_window_bounds)
+        profs = pallas_view_profiles(spec_v, W, H)
+        offs, fits = pallas_window_bounds(params, cam, spec_v, W, H,
+                                          64, 128, profiles=profs)
+        kw = dict(profiles=profs, window=offs, win_shape=(64, 128),
+                  slot_w=128, rows=32)
+
+    def run():
+        return jax.value_and_grad(lambda p: fused_view_loss_pallas(
+            p, cam, spec_v, W, H, **kw))(params)
+
+    # set BOTH modes explicitly — the default flipped to "lazy" on
+    # adoption, and an env-delete would compare the default against
+    # itself (the vacuity the zero-glue pack test once had)
+    monkeypatch.setenv("SKELSPLAT_PALLAS_SLOTREAD", "eager")
+    l_ref, g_ref = jax.tree.map(np.asarray, run())
+    monkeypatch.setenv("SKELSPLAT_PALLAS_SLOTREAD", "lazy")
+    l_new, g_new = jax.tree.map(np.asarray, run())
+    np.testing.assert_array_equal(l_ref, l_new)
+    for nm in ["xyz", "log_scales", "quats", "opacity_logit"]:
+        np.testing.assert_array_equal(getattr(g_ref, nm),
+                                      getattr(g_new, nm), err_msg=nm)
