@@ -74,14 +74,23 @@ def _view_inputs(W=1002, H=1000, n_joints=17, scene=1):
 
 
 def probe_tier(slot_w=256, win_h=512, win_w=768, rows=64, W=1002, H=1000,
-               n_joints=17, k_long=512, k_short=128, reps=3):
+               n_joints=17, k_long=512, k_short=128, reps=3, dead=False):
+    """``dead=True`` zeroes the four culling scalars (splat-rect rows +
+    GT row span) in the SAME compiled program, so every (slot, band)
+    pair takes both not-taken ``pl.when`` branches: the launch time is
+    then the pure scaffolding floor — per-launch fixed cost (program-0
+    permute dot, T init, prologues) plus the full per-DEAD-pair cost
+    (header scalar loads + two predicates + branch setup) at the
+    maximum pair count. active-launch − dead-launch bounds what a
+    compacted (active-pairs-only) slot loop could ever recover ON TOP
+    of the predicated skips already in place."""
     import jax
     import jax.numpy as jnp
 
     from skelsplat_tpu.core import geometry
     from skelsplat_tpu.ops.pallas_raster import (
-        IDX_PX, LANES, PACK, _pad_to, _run_bwd, pallas_view_bbox,
-        window_bounds_from_bbox)
+        IDX_GY0, IDX_GY1, IDX_PX, IDX_RY0, IDX_RY1, LANES, PACK, _pad_to,
+        _run_bwd, pallas_view_bbox, window_bounds_from_bbox)
 
     views, camsj, W, H, n = _view_inputs(W, H, n_joints)
     hi = jax.lax.Precision.HIGHEST
@@ -126,6 +135,9 @@ def probe_tier(slot_w=256, win_h=512, win_w=768, rows=64, W=1002, H=1000,
         offs_v.append(offs.reshape(1, 2))
         pl_v.append(_pad_to(PL, lanes, axis=1))
     gauss_b = jnp.stack(gauss_v)
+    if dead:
+        for col in (IDX_RY0, IDX_RY1, IDX_GY0, IDX_GY1):
+            gauss_b = gauss_b.at[:, :, col].set(0.0)
     p1_b = jnp.stack(p1_v)
     p2_b = jnp.stack(p2_v)
     offs_b = jnp.stack(offs_v)
@@ -179,14 +191,19 @@ def main(argv=None):
                          "decomposes width-proportional vs fixed time)")
     ap.add_argument("--win", type=int, nargs=2, default=[512, 768])
     ap.add_argument("--rows", type=int, default=64)
+    ap.add_argument("--dead", action="store_true",
+                    help="zero the culling scalars so EVERY (slot, band) "
+                         "pair is predicated off — measures the "
+                         "scaffolding floor of the same compiled program")
     args = ap.parse_args(argv)
 
     results = []
     for sw in args.slots:
         dt = probe_tier(slot_w=sw, win_h=args.win[0], win_w=args.win[1],
-                        rows=args.rows)
+                        rows=args.rows, dead=args.dead)
         results.append((sw, dt))
-        print(f"slot_w {sw}: {dt * 1e6:.1f} us/launch (V=4 views)")
+        tag = " [all pairs dead]" if args.dead else ""
+        print(f"slot_w {sw}: {dt * 1e6:.1f} us/launch (V=4 views){tag}")
     if len(results) >= 2:
         xs = np.array([r[0] for r in results], np.float64)
         ys = np.array([r[1] for r in results], np.float64) * 1e6
